@@ -1,0 +1,141 @@
+"""Slice header syntax (spec 7.3.3; parity: JM `header.c` — SURVEY.md §2a #4).
+
+Supports I/P/B progressive slices with pic_order_cnt_type 0 or 2, optional
+deblocking control, and the default-ordered reference lists used by the
+encoder (no reordering commands, sliding-window marking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .bitreader import BitReader
+from .bitwriter import BitSink
+from .expgolomb import read_se, read_te, read_ue, write_se, write_te, write_ue
+from .params import PPS, SPS
+
+# slice_type values (spec Table 7-6); +5 variants mean "all slices in pic
+# have this type" — we always emit the +5 form.
+SLICE_P = 0
+SLICE_B = 1
+SLICE_I = 2
+
+
+@dataclasses.dataclass
+class SliceHeader:
+    first_mb_in_slice: int = 0
+    slice_type: int = SLICE_I            # canonical 0/1/2
+    pic_parameter_set_id: int = 0
+    frame_num: int = 0
+    idr_pic_id: int = 0
+    pic_order_cnt_lsb: int = 0
+    num_ref_idx_l0_active: int = 1       # after per-slice override
+    num_ref_idx_l1_active: int = 1
+    slice_qp: int = 26
+    disable_deblocking_filter_idc: int = 0
+    slice_alpha_c0_offset_div2: int = 0
+    slice_beta_offset_div2: int = 0
+    is_idr: bool = True
+    nal_ref_idc: int = 3
+
+    def write_rbsp_head(self, sps: SPS, pps: PPS) -> BitSink:
+        """Write the slice header into a fresh BitSink (slice data follows)."""
+        s = BitSink()
+        write_ue(s, self.first_mb_in_slice)
+        write_ue(s, self.slice_type + 5)
+        write_ue(s, self.pic_parameter_set_id)
+        s.put(self.frame_num, sps.log2_max_frame_num)
+        if self.is_idr:
+            write_ue(s, self.idr_pic_id)
+        if sps.pic_order_cnt_type == 0:
+            s.put(self.pic_order_cnt_lsb, sps.log2_max_pic_order_cnt_lsb)
+            if pps.pic_order_present_flag:
+                raise NotImplementedError("delta_pic_order_cnt_bottom")
+        if self.slice_type == SLICE_B:
+            s.put(0, 1)                   # direct_spatial_mv_pred_flag (temporal)
+        if self.slice_type in (SLICE_P, SLICE_B):
+            override = int(
+                self.num_ref_idx_l0_active != pps.num_ref_idx_l0_active
+                or (self.slice_type == SLICE_B
+                    and self.num_ref_idx_l1_active != pps.num_ref_idx_l1_active))
+            s.put(override, 1)
+            if override:
+                write_ue(s, self.num_ref_idx_l0_active - 1)
+                if self.slice_type == SLICE_B:
+                    write_ue(s, self.num_ref_idx_l1_active - 1)
+        # ref_pic_list_modification: none (default order)
+        if self.slice_type in (SLICE_P, SLICE_B):
+            s.put(0, 1)                   # ref_pic_list_modification_flag_l0
+        if self.slice_type == SLICE_B:
+            s.put(0, 1)                   # ..._l1
+        if pps.weighted_pred_flag and self.slice_type == SLICE_P:
+            raise NotImplementedError("explicit weighted prediction tables")
+        if self.nal_ref_idc != 0:
+            # dec_ref_pic_marking
+            if self.is_idr:
+                s.put(0, 1)               # no_output_of_prior_pics_flag
+                s.put(0, 1)               # long_term_reference_flag
+            else:
+                s.put(0, 1)               # adaptive_ref_pic_marking_mode_flag
+        if pps.entropy_coding_mode_flag and self.slice_type != SLICE_I:
+            write_ue(s, 0)                # cabac_init_idc
+        write_se(s, self.slice_qp - pps.pic_init_qp)
+        if pps.deblocking_filter_control_present_flag:
+            write_ue(s, self.disable_deblocking_filter_idc)
+            if self.disable_deblocking_filter_idc != 1:
+                write_se(s, self.slice_alpha_c0_offset_div2)
+                write_se(s, self.slice_beta_offset_div2)
+        return s
+
+    @classmethod
+    def parse(cls, r: BitReader, sps: SPS, pps: PPS, nal_unit_type: int,
+              nal_ref_idc: int) -> "SliceHeader":
+        h = cls()
+        h.is_idr = nal_unit_type == 5
+        h.nal_ref_idc = nal_ref_idc
+        h.first_mb_in_slice = read_ue(r)
+        st = read_ue(r)
+        h.slice_type = st % 5
+        if h.slice_type > 2:
+            raise NotImplementedError(f"slice_type {st}")
+        h.pic_parameter_set_id = read_ue(r)
+        h.frame_num = r.read(sps.log2_max_frame_num)
+        if h.is_idr:
+            h.idr_pic_id = read_ue(r)
+        if sps.pic_order_cnt_type == 0:
+            h.pic_order_cnt_lsb = r.read(sps.log2_max_pic_order_cnt_lsb)
+            if pps.pic_order_present_flag:
+                raise NotImplementedError("delta_pic_order_cnt_bottom")
+        h.num_ref_idx_l0_active = pps.num_ref_idx_l0_active
+        h.num_ref_idx_l1_active = pps.num_ref_idx_l1_active
+        if h.slice_type == SLICE_B:
+            h.direct_spatial_mv_pred_flag = r.read(1)
+        if h.slice_type in (SLICE_P, SLICE_B):
+            if r.read(1):                 # num_ref_idx_active_override
+                h.num_ref_idx_l0_active = read_ue(r) + 1
+                if h.slice_type == SLICE_B:
+                    h.num_ref_idx_l1_active = read_ue(r) + 1
+        if h.slice_type in (SLICE_P, SLICE_B):
+            if r.read(1):
+                raise NotImplementedError("ref_pic_list_modification")
+        if h.slice_type == SLICE_B:
+            if r.read(1):
+                raise NotImplementedError("ref_pic_list_modification l1")
+        if pps.weighted_pred_flag and h.slice_type == SLICE_P:
+            raise NotImplementedError("pred_weight_table")
+        if nal_ref_idc != 0:
+            if h.is_idr:
+                r.read(1)                 # no_output_of_prior_pics_flag
+                r.read(1)                 # long_term_reference_flag
+            else:
+                if r.read(1):
+                    raise NotImplementedError("adaptive MMCO")
+        if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:
+            read_ue(r)                    # cabac_init_idc
+        h.slice_qp = pps.pic_init_qp + read_se(r)
+        if pps.deblocking_filter_control_present_flag:
+            h.disable_deblocking_filter_idc = read_ue(r)
+            if h.disable_deblocking_filter_idc != 1:
+                h.slice_alpha_c0_offset_div2 = read_se(r)
+                h.slice_beta_offset_div2 = read_se(r)
+        return h
