@@ -11,3 +11,14 @@ scaling shards GOPs across hosts.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# The wavefront engine's scan body is a large graph (16 unrolled blocks x 9
+# modes); persistent compilation caching makes repeat runs/tests cheap.
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.environ.get("TPU264_JAX_CACHE",
+                                   _os.path.expanduser("~/.cache/tpu264-jax")))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,123 @@
+"""Sequence-level encoder orchestration (JM `lencod` main loop parity —
+SURVEY.md §3.1): parameter-set emission, per-frame device encode, host
+entropy serialization, Annex-B assembly, per-frame stats logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from tpu264.bits import nal
+from tpu264.bits.bitwriter import BitSink
+from tpu264.bits.params import PPS, SPS
+from tpu264.bits.slicehdr import SLICE_I, SliceHeader
+from tpu264.config import EncoderConfig
+from tpu264.entropy import slice_writer
+from .intra_frame import make_intra_encoder, reorder_wave_outputs
+from .wavefront import build_schedule
+
+
+@dataclasses.dataclass
+class FrameStats:
+    frame: int
+    slice_type: str
+    bits: int
+    psnr_y: float
+    psnr_u: float
+    psnr_v: float
+    seconds: float
+
+
+def psnr(orig: np.ndarray, recon: np.ndarray) -> float:
+    mse = np.mean((orig.astype(np.float64) - recon.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 99.99
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+class Encoder:
+    """All-intra CAVLC encoder (PR1 config, BASELINE.json:6).
+
+    P/B slices, CABAC and deblocking are added by later stages (SURVEY.md
+    §7 build plan).
+    """
+
+    def __init__(self, cfg: EncoderConfig):
+        cfg.validate()
+        self.cfg = cfg
+        self.sched = build_schedule(cfg.width_mbs, cfg.height_mbs,
+                                    cfg.slices_per_frame)
+        self.sps = SPS(
+            profile_idc=cfg.profile_idc,
+            constraint_flags=0xC0 if cfg.profile_idc == 66 else 0,
+            level_idc=cfg.level_idc,
+            pic_order_cnt_type=2,
+            max_num_ref_frames=max(1, cfg.num_ref_frames),
+            pic_width_in_mbs=cfg.width_mbs,
+            pic_height_in_map_units=cfg.height_mbs,
+        )
+        self.pps = PPS(
+            entropy_coding_mode_flag=0,
+            pic_init_qp=26,
+            deblocking_filter_control_present_flag=1,
+        )
+        self._encode_frame = make_intra_encoder(self.sched, cfg.qp)
+        self.stats: list[FrameStats] = []
+
+    def encode_sequence(self, frames) -> bytes:
+        """frames: iterable of (y, u, v) uint8 planes. Returns Annex-B."""
+        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
+               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        self.recons = []
+        for i, (y, u, v) in enumerate(frames):
+            t0 = time.monotonic()
+            nalus, recon = self.encode_intra_frame(y, u, v, frame_num=0,
+                                                   idr_pic_id=i % 2)
+            dt = time.monotonic() - t0
+            out.extend(nalus)
+            self.recons.append(recon)
+            bits = sum(8 * len(b) for b in nalus)
+            self.stats.append(FrameStats(
+                i, "IDR", bits,
+                psnr(y, recon[0]), psnr(u, recon[1]), psnr(v, recon[2]), dt))
+        return b"".join(out)
+
+    def encode_intra_frame(self, y, u, v, frame_num: int = 0,
+                           idr_pic_id: int = 0):
+        """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV))."""
+        cfg = self.cfg
+        dev_out, ys = self._encode_frame(np.asarray(y), np.asarray(u),
+                                         np.asarray(v))
+        mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+        values, lengths = slice_writer.serialize_frame_mbs(
+            mb, cfg.width_mbs, cfg.height_mbs,
+            self.sched.slice_starts.tolist())
+        nalus = []
+        rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
+        for s in range(cfg.slices_per_frame):
+            first_mb = s * rows_per_slice * cfg.width_mbs
+            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+            hdr = SliceHeader(
+                first_mb_in_slice=first_mb,
+                slice_type=SLICE_I,
+                frame_num=frame_num,
+                idr_pic_id=idr_pic_id,
+                slice_qp=cfg.qp,
+                disable_deblocking_filter_idc=1,
+                is_idr=True,
+            )
+            sink = hdr.write_rbsp_head(self.sps, self.pps)
+            rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
+                                           lengths[first_mb:last_mb], sink)
+            nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
+        recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                 np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                 np.asarray(dev_out["recon_v"], dtype=np.uint8))
+        return nalus, recon
+
+
+def jax_to_np(tree):
+    return {k: np.asarray(val) for k, val in tree.items()}

@@ -1,0 +1,340 @@
+"""Scalar reference H.264 decoder (Baseline intra subset, growing).
+
+JM `ldecod` parity (SURVEY.md §3.2): Annex-B NALU parse → SPS/PPS
+activation → slice header → serial CAVLC macroblock parse →
+reconstruction via the `tpu264.ref` scalar oracles.  Deliberately simple
+and obviously-spec-shaped: this is the conformance anchor the batched
+TPU encoder is tested against (closed-loop bit-exactness,
+tests/test_closed_loop.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu264.bits import nal
+from tpu264.bits.bitreader import BitReader
+from tpu264.bits.expgolomb import read_se, read_ue
+from tpu264.bits.params import PPS, SPS
+from tpu264.bits.slicehdr import SLICE_I, SliceHeader
+from tpu264.coding.wavefront import BLK_ORDER, TR_UNAVAIL_IN_MB
+from tpu264.entropy import cavlc, mb_syntax
+from tpu264.ref import intra as ri
+from tpu264.ref import transform as rt
+
+
+class PictureState:
+    """Per-picture decoding state: planes, per-block maps, slice ids."""
+
+    def __init__(self, sps: SPS):
+        self.w, self.h = sps.width, sps.height
+        self.wm, self.hm = sps.pic_width_in_mbs, sps.pic_height_in_map_units
+        self.y = np.zeros((self.h, self.w), dtype=np.int64)
+        self.u = np.zeros((self.h // 2, self.w // 2), dtype=np.int64)
+        self.v = np.zeros((self.h // 2, self.w // 2), dtype=np.int64)
+        # per-4x4 maps
+        self.modes = np.full((self.hm * 4, self.wm * 4), -1, dtype=np.int64)
+        self.luma_tc = np.zeros((self.hm * 4, self.wm * 4), dtype=np.int64)
+        self.chroma_tc = np.zeros((2, self.hm * 2, self.wm * 2), dtype=np.int64)
+        # slice id per MB (-1 = not yet decoded)
+        self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
+        self.n_decoded = 0
+
+
+class Decoder:
+    def __init__(self) -> None:
+        self.sps: SPS | None = None
+        self.pps: PPS | None = None
+        self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._pic: PictureState | None = None
+        self._slice_counter = 0
+
+    # ------------------------------------------------------------- NAL
+
+    def decode(self, stream: bytes):
+        for ref_idc, ntype, rbsp in nal.split_annexb(stream):
+            if ntype == nal.NAL_SPS:
+                self.sps = SPS.parse_rbsp(rbsp)
+            elif ntype == nal.NAL_PPS:
+                self.pps = PPS.parse_rbsp(rbsp)
+            elif ntype in (nal.NAL_SLICE, nal.NAL_IDR):
+                self._decode_slice(rbsp, ntype, ref_idc)
+            elif ntype in (nal.NAL_SEI, nal.NAL_AUD, nal.NAL_FILLER):
+                continue
+            else:
+                raise NotImplementedError(f"nal_unit_type {ntype}")
+        self._finish_picture()
+        return self.frames
+
+    def _finish_picture(self):
+        pic = self._pic
+        if pic is not None and pic.n_decoded > 0:
+            assert pic.n_decoded == pic.wm * pic.hm, \
+                f"picture incomplete: {pic.n_decoded}/{pic.wm * pic.hm} MBs"
+            self.frames.append((pic.y.astype(np.uint8),
+                                pic.u.astype(np.uint8),
+                                pic.v.astype(np.uint8)))
+        self._pic = None
+
+    # ----------------------------------------------------------- slice
+
+    def _decode_slice(self, rbsp: bytes, ntype: int, ref_idc: int):
+        assert self.sps is not None and self.pps is not None
+        r = BitReader(rbsp)
+        hdr = SliceHeader.parse(r, self.sps, self.pps, ntype, ref_idc)
+        if hdr.slice_type != SLICE_I:
+            raise NotImplementedError("P/B slice decode")
+        if hdr.first_mb_in_slice == 0:
+            self._finish_picture()
+        if self._pic is None:
+            self._pic = PictureState(self.sps)
+        self._slice_counter += 1
+        sid = self._slice_counter
+        pic = self._pic
+        qp = hdr.slice_qp
+        addr = hdr.first_mb_in_slice
+        n_mbs = pic.wm * pic.hm
+        while True:
+            self._decode_mb_i(r, pic, addr, qp, sid)
+            addr += 1
+            pic.n_decoded += 1
+            if addr >= n_mbs or not r.more_rbsp_data():
+                break
+
+    # ------------------------------------------------------ macroblock
+
+    def _avail_mb(self, pic, mr, mc, dr, dc, sid):
+        """Neighbor MB availability: exists and in the same slice."""
+        r, c = mr + dr, mc + dc
+        if r < 0 or c < 0 or r >= pic.hm or c >= pic.wm:
+            return False
+        return pic.slice_id[r, c] == sid
+
+    def _decode_mb_i(self, r: BitReader, pic: PictureState, addr: int,
+                     qp: int, sid: int):
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        at = self._avail_mb(pic, mr, mc, -1, 0, sid)
+        al = self._avail_mb(pic, mr, mc, 0, -1, sid)
+        atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
+        atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
+
+        mb_type = read_ue(r)
+        if mb_type == 25:
+            raise NotImplementedError("I_PCM")
+        if mb_type > 25:
+            raise ValueError(f"bad I mb_type {mb_type}")
+
+        if mb_type == 0:     # Intra_4x4
+            modes = self._parse_i4_modes(r, pic, mr, mc, sid)
+            cmode = read_ue(r)
+            cbp = int(mb_syntax.CODENUM_TO_CBP_INTRA[read_ue(r)])
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp > 0:
+                qp = qp + read_se(r)          # mb_qp_delta
+            self._recon_i4(r, pic, mr, mc, qp, modes, cbp_luma,
+                           at, al, atl, atr, sid)
+        else:                # Intra_16x16
+            t = mb_type - 1
+            i16mode = t % 4
+            cbp_chroma = (t // 4) % 3
+            cbp_luma = 15 if t >= 12 else 0
+            cmode = read_ue(r)
+            qp = qp + read_se(r)              # mb_qp_delta (always present)
+            self._recon_i16(r, pic, mr, mc, qp, i16mode, cbp_luma,
+                            at, al, atl)
+        self._recon_chroma(r, pic, mr, mc, qp, cmode, cbp_chroma, at, al, atl)
+
+    # ------------------------------------------------- syntax helpers
+
+    def _parse_i4_modes(self, r, pic, mr, mc, sid):
+        modes = np.zeros(16, dtype=np.int64)
+        for idx, (by, bx) in enumerate(BLK_ORDER):
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            pm = self._mpm(pic, gr, gc, sid)
+            if r.read(1):
+                m = pm
+            else:
+                rem = r.read(3)
+                m = rem + (rem >= pm)
+            modes[idx] = m
+            pic.modes[gr, gc] = m
+        return modes
+
+    def _mpm(self, pic, gr, gc, sid):
+        """spec 8.3.1.1: either neighbor unavailable → DC; available
+        non-Intra_4x4 neighbor counts as DC on its side."""
+        def side(r_, c_):
+            if r_ < 0 or c_ < 0:
+                return -1                  # unavailable
+            if pic.slice_id[r_ // 4, c_ // 4] != sid:
+                return -1
+            m = pic.modes[r_, c_]
+            return 2 if m < 0 else int(m)
+        a, b = side(gr, gc - 1), side(gr - 1, gc)
+        return 2 if min(a, b) < 0 else min(a, b)
+
+    def _nc_luma(self, pic, gr, gc, sid):
+        na = nb = None
+        if gc > 0 and pic.slice_id[gr // 4, (gc - 1) // 4] == sid:
+            na = int(pic.luma_tc[gr, gc - 1])
+        if gr > 0 and pic.slice_id[(gr - 1) // 4, gc // 4] == sid:
+            nb = int(pic.luma_tc[gr - 1, gc])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def _nc_chroma(self, pic, comp, gr, gc, sid):
+        na = nb = None
+        if gc > 0 and pic.slice_id[gr // 2, (gc - 1) // 2] == sid:
+            na = int(pic.chroma_tc[comp, gr, gc - 1])
+        if gr > 0 and pic.slice_id[(gr - 1) // 2, gc // 2] == sid:
+            nb = int(pic.chroma_tc[comp, gr - 1, gc])
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    # ------------------------------------------------- reconstruction
+
+    def _luma_neighbors(self, pic, mr, mc, by, bx, at, al, atl, atr):
+        """Assemble (top8, left4, tl, avail flags) for a 4x4 luma block."""
+        y0, x0 = mr * 16 + by * 4, mc * 16 + bx * 4
+        idx = BLK_ORDER.index((by, bx))
+        b_at = at if by == 0 else True
+        b_al = al if bx == 0 else True
+        if by == 0 and bx == 0:
+            b_atl = atl
+        elif by == 0:
+            b_atl = at
+        elif bx == 0:
+            b_atl = al
+        else:
+            b_atl = True
+        if by == 0:
+            b_atr = atr if bx == 3 else at
+        else:
+            b_atr = idx not in TR_UNAVAIL_IN_MB
+        top8 = np.zeros(8, dtype=np.int64)
+        left4 = np.zeros(4, dtype=np.int64)
+        tl = 0
+        if b_at:
+            top8[0:4] = pic.y[y0 - 1, x0:x0 + 4]
+            if b_atr:
+                top8[4:8] = pic.y[y0 - 1, x0 + 4:x0 + 8]
+            else:
+                top8[4:8] = top8[3]
+        if b_al:
+            left4[:] = pic.y[y0:y0 + 4, x0 - 1]
+        if b_atl:
+            tl = int(pic.y[y0 - 1, x0 - 1])
+        return top8, left4, tl, b_at, b_al, b_atl
+
+    def _recon_i4(self, r, pic, mr, mc, qp, modes, cbp_luma,
+                  at, al, atl, atr, sid):
+        for idx, (by, bx) in enumerate(BLK_ORDER):
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            coded = (cbp_luma >> (idx // 4)) & 1
+            if coded:
+                ncv = self._nc_luma(pic, gr, gc, sid)
+                scanned = cavlc.decode_block(r, ncv, 16)
+                pic.luma_tc[gr, gc] = (scanned != 0).sum()
+            else:
+                scanned = np.zeros(16, dtype=np.int64)
+                pic.luma_tc[gr, gc] = 0
+            top8, left4, tl, b_at, b_al, b_atl = self._luma_neighbors(
+                pic, mr, mc, by, bx, at, al, atl, atr)
+            pred = ri.predict_4x4(int(modes[idx]), top8, left4, tl,
+                                  b_at, b_al, b_atl)
+            coeff = np.zeros(16, dtype=np.int64)
+            coeff[rt.ZIGZAG_4x4] = scanned
+            res = rt.residual_block_recon(coeff.reshape(4, 4), qp)
+            y0, x0 = mr * 16 + by * 4, mc * 16 + bx * 4
+            pic.y[y0:y0 + 4, x0:x0 + 4] = rt.clip1(pred + res)
+
+    def _recon_i16(self, r, pic, mr, mc, qp, i16mode, cbp_luma, at, al, atl):
+        y0, x0 = mr * 16, mc * 16
+        top = pic.y[y0 - 1, x0:x0 + 16] if at else np.zeros(16, dtype=np.int64)
+        left = pic.y[y0:y0 + 16, x0 - 1] if al else np.zeros(16, dtype=np.int64)
+        tl = int(pic.y[y0 - 1, x0 - 1]) if atl else 0
+        pred = ri.predict_16x16(i16mode, top, left, tl, at, al, atl)
+        # DC block (nC as for luma block 0)
+        sid = int(pic.slice_id[mr, mc])
+        ncv = self._nc_luma(pic, mr * 4, mc * 4, sid)
+        dc_scan = cavlc.decode_block(r, ncv, 16)
+        dc = np.zeros(16, dtype=np.int64)
+        dc[rt.ZIGZAG_4x4] = dc_scan
+        dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp)
+        recon = np.zeros((16, 16), dtype=np.int64)
+        for idx, (by, bx) in enumerate(BLK_ORDER):
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            if cbp_luma:
+                ncv = self._nc_luma(pic, gr, gc, sid)
+                ac = cavlc.decode_block(r, ncv, 15)
+                pic.luma_tc[gr, gc] = (ac != 0).sum()
+            else:
+                ac = np.zeros(15, dtype=np.int64)
+                pic.luma_tc[gr, gc] = 0
+            coeff = np.zeros(16, dtype=np.int64)
+            coeff[rt.ZIGZAG_4x4[1:]] = ac
+            res = rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                                          dc=int(dc_deq[by, bx]))
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
+        pic.y[y0:y0 + 16, x0:x0 + 16] = rt.clip1(pred + recon)
+
+    def _recon_chroma(self, r, pic, mr, mc, qp, cmode, cbp_chroma,
+                      at, al, atl):
+        cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        sid = int(pic.slice_id[mr, mc])
+        y0, x0 = mr * 8, mc * 8
+        planes = (pic.u, pic.v)
+        # parse DC for both components first (bitstream order: cb DC, cr DC,
+        # then cb AC blocks, then cr AC blocks)
+        dcs = []
+        for comp in range(2):
+            if cbp_chroma >= 1:
+                dc_scan = cavlc.decode_block(r, -1, 4)
+            else:
+                dc_scan = np.zeros(4, dtype=np.int64)
+            dcs.append(dc_scan.reshape(2, 2))
+        acs = [[None] * 4 for _ in range(2)]
+        for comp in range(2):
+            for idx in range(4):
+                by, bx = idx // 2, idx % 2
+                gr, gc = mr * 2 + by, mc * 2 + bx
+                if cbp_chroma == 2:
+                    ncv = self._nc_chroma(pic, comp, gr, gc, sid)
+                    ac = cavlc.decode_block(r, ncv, 15)
+                    pic.chroma_tc[comp, gr, gc] = (ac != 0).sum()
+                else:
+                    ac = np.zeros(15, dtype=np.int64)
+                    pic.chroma_tc[comp, gr, gc] = 0
+                acs[comp][idx] = ac
+        for comp in range(2):
+            plane = planes[comp]
+            top = plane[y0 - 1, x0:x0 + 8] if at else np.zeros(8, dtype=np.int64)
+            left = plane[y0:y0 + 8, x0 - 1] if al else np.zeros(8, dtype=np.int64)
+            tl = int(plane[y0 - 1, x0 - 1]) if atl else 0
+            pred = ri.predict_chroma8x8(cmode, top, left, tl, at, al, atl)
+            dc_deq = rt.hadamard2x2_inv_dequant_dc(dcs[comp], cqp)
+            recon = np.zeros((8, 8), dtype=np.int64)
+            for idx in range(4):
+                by, bx = idx // 2, idx % 2
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4[1:]] = acs[comp][idx]
+                res = rt.residual_block_recon(coeff.reshape(4, 4), cqp,
+                                              dc=int(dc_deq[by, bx]))
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
+            plane[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + recon)
+
+
+def decode_annexb(stream: bytes):
+    """Decode an Annex-B byte stream → list of (y, u, v) uint8 frames."""
+    return Decoder().decode(stream)

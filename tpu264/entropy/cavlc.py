@@ -100,12 +100,12 @@ def encode_blocks(scanned: np.ndarray, nc: np.ndarray, max_coeff: int):
         code, ln = _encode_level(level_code, sl)
         values[:, 4 + k] = np.where(on, code, 0).astype(np.uint64)
         lengths[:, 4 + k] = np.where(on, ln, 0)
-        # suffix length adaptation (spec 9.2.2.1: bump 0→1, OTHERWISE bump
-        # on magnitude — the two cases are mutually exclusive)
-        sl_new = np.where(
-            sl == 0, 1,
-            np.where((absv > (3 << np.maximum(sl - 1, 0))) & (sl < 6),
-                     sl + 1, sl))
+        # suffix length adaptation (spec 9.2.2.1): first bump 0→1, then —
+        # independently — bump on magnitude (both can fire for one level;
+        # validated bit-exact against the ffmpeg decoder)
+        sl_new = np.where(sl == 0, 1, sl)
+        sl_new = np.where((absv > (3 << np.maximum(sl_new - 1, 0))) & (sl_new < 6),
+                          sl_new + 1, sl_new)
         sl = np.where(on, sl_new, sl)
 
     # --- total_zeros ---
@@ -252,7 +252,7 @@ def decode_block(r, nc: int, max_coeff: int) -> np.ndarray:
         levels.append(level)
         if sl == 0:
             sl = 1
-        elif abs(level) > (3 << (sl - 1)) and sl < 6:
+        if abs(level) > (3 << (sl - 1)) and sl < 6:
             sl += 1
     if total_coeff < max_coeff:
         if max_coeff == 4:

@@ -62,12 +62,14 @@ def predict_4x4(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
                     p[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
     elif mode == I4_DDR:
         assert avail_top and avail_left and avail_tl
+        te = np.concatenate([[z], t])  # te[i] = p[i-1,-1]; te[0] = Z
+        le = np.concatenate([[z], l])  # le[i] = p[-1,i-1]
         for y in range(4):
             for x in range(4):
                 if x > y:
-                    p[y, x] = (t[x - y - 2] + 2 * t[x - y - 1] + t[x - y] + 2) >> 2
+                    p[y, x] = (te[x - y - 1] + 2 * te[x - y] + te[x - y + 1] + 2) >> 2
                 elif x < y:
-                    p[y, x] = (l[y - x - 2] + 2 * l[y - x - 1] + l[y - x] + 2) >> 2
+                    p[y, x] = (le[y - x - 1] + 2 * le[y - x] + le[y - x + 1] + 2) >> 2
                 else:
                     p[y, x] = (t[0] + 2 * z + l[0] + 2) >> 2
     elif mode == I4_VR:

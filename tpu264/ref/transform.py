@@ -73,6 +73,34 @@ def fdct4x4(x: np.ndarray) -> np.ndarray:
     return CF @ x @ CF.T
 
 
+def level_limit_ac(qp: int) -> np.ndarray:
+    """Per-position max |level| so the dequantized coefficient fits int16
+    (spec 8.5.12 range constraint — an encoder conformance duty; reference
+    decoders store scaled coefficients as 16-bit)."""
+    return 32767 // (V_TABLE[qp % 6] << (qp // 6))
+
+
+def level_limit_dc(qp: int) -> int:
+    """Max |DC level| such that a single level keeps the scaled luma DC
+    (spec 8.5.10) within int16.  A single level c produces |dcY| = |c| *
+    16*V00 * 2^(q6-6); real residuals cannot align 16 large levels, so the
+    single-level bound is the practical encoder-conformance clamp (it never
+    binds on natural 8-bit content)."""
+    q6 = qp // 6
+    ls = 16 * int(_V_CLASS[qp % 6, 0])
+    if q6 >= 6:
+        return max(1, 32767 // (ls << (q6 - 6)))
+    return max(1, (32767 << (6 - q6)) // ls)
+
+
+def level_limit_cdc(qp: int) -> int:
+    """Max |chroma DC level| (single-level bound, spec 8.5.11)."""
+    q6 = qp // 6
+    ls = 16 * int(_V_CLASS[qp % 6, 0])
+    # |dcC| = |c| * ls * 2^q6 / 32 per single level
+    return max(1, (32767 << 5) // (ls << q6))
+
+
 def quant4x4(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
     """Dead-zone scalar quant of a 4x4 coefficient block (JM convention)."""
     qbits = 15 + qp // 6
@@ -80,6 +108,7 @@ def quant4x4(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
     f = (1 << qbits) // (3 if intra else 6)
     w = np.asarray(w, dtype=np.int64)
     lev = (np.abs(w) * mf + f) >> qbits
+    lev = np.minimum(lev, level_limit_ac(qp))
     return np.sign(w) * lev
 
 
@@ -130,6 +159,7 @@ def hadamard4x4_fwd_quant_dc(wdc: np.ndarray, qp: int, intra: bool = True):
     mf00 = int(_MF_CLASS[qp % 6, 0])
     f = (1 << qbits) // (3 if intra else 6)
     lev = ((np.abs(m) >> 1) * mf00 + 2 * f) >> (qbits + 1)
+    lev = np.minimum(lev, level_limit_dc(qp))
     return np.sign(m) * lev
 
 
@@ -150,6 +180,7 @@ def hadamard2x2_fwd_quant_dc(wdc: np.ndarray, qp: int, intra: bool):
     mf00 = int(_MF_CLASS[qp % 6, 0])
     f = (1 << qbits) // (3 if intra else 6)
     lev = (np.abs(m) * mf00 + 2 * f) >> (qbits + 1)
+    lev = np.minimum(lev, level_limit_cdc(qp))
     return np.sign(m) * lev
 
 
