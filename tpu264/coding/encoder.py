@@ -13,9 +13,10 @@ import numpy as np
 from tpu264.bits import nal
 from tpu264.bits.bitwriter import BitSink
 from tpu264.bits.params import PPS, SPS
-from tpu264.bits.slicehdr import SLICE_I, SliceHeader
+from tpu264.bits.slicehdr import SLICE_I, SLICE_P, SliceHeader
 from tpu264.config import EncoderConfig
 from tpu264.entropy import slice_writer
+from .inter_frame import make_inter_encoder
 from .intra_frame import make_intra_encoder, reorder_wave_outputs
 from .wavefront import build_schedule
 
@@ -39,15 +40,20 @@ def psnr(orig: np.ndarray, recon: np.ndarray) -> float:
 
 
 class Encoder:
-    """All-intra CAVLC encoder (PR1 config, BASELINE.json:6).
+    """CAVLC encoder: all-intra or IPPP GOPs (BASELINE.json configs 1-2).
 
-    P/B slices, CABAC and deblocking are added by later stages (SURVEY.md
-    §7 build plan).
+    `gop_mode`: "intra" = every frame IDR; "ippp" = first frame IDR, rest
+    P (JM IntraPeriod semantics: cfg.intra_period > 0 inserts periodic
+    IDR frames).  B slices, CABAC and deblocking are later stages
+    (SURVEY.md §7 build plan).
     """
 
-    def __init__(self, cfg: EncoderConfig):
+    def __init__(self, cfg: EncoderConfig, gop_mode: str | None = None):
         cfg.validate()
         self.cfg = cfg
+        if gop_mode is None:
+            gop_mode = "intra" if cfg.intra_period == 1 else "ippp"
+        self.gop_mode = gop_mode
         self.sched = build_schedule(cfg.width_mbs, cfg.height_mbs,
                                     cfg.slices_per_frame)
         self.sps = SPS(
@@ -65,6 +71,10 @@ class Encoder:
             deblocking_filter_control_present_flag=1,
         )
         self._encode_frame = make_intra_encoder(self.sched, cfg.qp)
+        self._encode_p = None
+        if gop_mode == "ippp":
+            self._encode_p = make_inter_encoder(
+                self.sched, cfg.qp_inter, search_range=cfg.search_range)
         self.stats: list[FrameStats] = []
 
     def encode_sequence(self, frames) -> bytes:
@@ -72,16 +82,28 @@ class Encoder:
         out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
                nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
         self.recons = []
+        frame_num = 0
+        idr_count = 0
         for i, (y, u, v) in enumerate(frames):
             t0 = time.monotonic()
-            nalus, recon = self.encode_intra_frame(y, u, v, frame_num=0,
-                                                   idr_pic_id=i % 2)
+            period = self.cfg.intra_period
+            is_idr = (self.gop_mode == "intra" or i == 0
+                      or (period > 1 and i % period == 0))
+            if is_idr:
+                nalus, recon = self.encode_intra_frame(
+                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2)
+                idr_count += 1
+                frame_num = 1
+            else:
+                nalus, recon = self.encode_p_frame(
+                    y, u, v, self.recons[-1], frame_num=frame_num)
+                frame_num = (frame_num + 1) % (1 << self.sps.log2_max_frame_num)
             dt = time.monotonic() - t0
             out.extend(nalus)
             self.recons.append(recon)
             bits = sum(8 * len(b) for b in nalus)
             self.stats.append(FrameStats(
-                i, "IDR", bits,
+                i, "IDR" if is_idr else "P", bits,
                 psnr(y, recon[0]), psnr(u, recon[1]), psnr(v, recon[2]), dt))
         return b"".join(out)
 
@@ -113,6 +135,41 @@ class Encoder:
             rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
                                            lengths[first_mb:last_mb], sink)
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
+        recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                 np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                 np.asarray(dev_out["recon_v"], dtype=np.uint8))
+        return nalus, recon
+
+    def encode_p_frame(self, y, u, v, ref, frame_num: int):
+        """Encode one P frame against `ref` = (y, u, v) recon planes."""
+        cfg = self.cfg
+        dev_out, ys = self._encode_p(np.asarray(y), np.asarray(u),
+                                     np.asarray(v), np.asarray(ref[0]),
+                                     np.asarray(ref[1]), np.asarray(ref[2]))
+        mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+        values, lengths, skipped = slice_writer.serialize_frame_mbs_p(
+            mb, cfg.width_mbs, cfg.height_mbs,
+            self.sched.slice_starts.tolist())
+        nalus = []
+        rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
+        for s in range(cfg.slices_per_frame):
+            first_mb = s * rows_per_slice * cfg.width_mbs
+            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+            hdr = SliceHeader(
+                first_mb_in_slice=first_mb,
+                slice_type=SLICE_P,
+                frame_num=frame_num,
+                slice_qp=cfg.qp_inter,
+                disable_deblocking_filter_idc=1,
+                is_idr=False,
+                nal_ref_idc=2,
+            )
+            sink = hdr.write_rbsp_head(self.sps, self.pps)
+            tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
+            rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
+                                           lengths[first_mb:last_mb], sink,
+                                           final_skip_run=tail)
+            nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
                  np.asarray(dev_out["recon_u"], dtype=np.uint8),
                  np.asarray(dev_out["recon_v"], dtype=np.uint8))

@@ -32,7 +32,7 @@ class EncoderConfig:
     symbol_mode: str = "CAVLC"          # CAVLC | CABAC (JM `SymbolMode`)
     qp: int = 28                         # QPISlice
     qp_p: Optional[int] = None           # QPPSlice (defaults to qp)
-    intra_period: int = 0                # 0 → first frame only (JM IntraPeriod)
+    intra_period: int = 1                # JM IntraPeriod: 1 = all-intra, 0 = first frame only, N = periodic IDR
     num_b_frames: int = 0                # JM NumberBFrames
     num_ref_frames: int = 1
     search_range: int = 16               # JM SearchRange (full-pel)

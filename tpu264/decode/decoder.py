@@ -16,11 +16,15 @@ from tpu264.bits import nal
 from tpu264.bits.bitreader import BitReader
 from tpu264.bits.expgolomb import read_se, read_ue
 from tpu264.bits.params import PPS, SPS
-from tpu264.bits.slicehdr import SLICE_I, SliceHeader
+from tpu264.bits.slicehdr import SLICE_I, SLICE_P, SliceHeader
+from tpu264.coding import mvpred
 from tpu264.coding.wavefront import BLK_ORDER, TR_UNAVAIL_IN_MB
 from tpu264.entropy import cavlc, mb_syntax
+from tpu264.ref import interp as rip
 from tpu264.ref import intra as ri
 from tpu264.ref import transform as rt
+
+REF_PAD = 24
 
 
 class PictureState:
@@ -38,6 +42,10 @@ class PictureState:
         self.chroma_tc = np.zeros((2, self.hm * 2, self.wm * 2), dtype=np.int64)
         # slice id per MB (-1 = not yet decoded)
         self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
+        # per-MB motion state (qpel; ref: -2 unavail/undecoded, -1 intra,
+        # 0 inter-ref0)
+        self.mv = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
+        self.ref = np.full((self.hm, self.wm), mvpred.UNAVAIL, dtype=np.int64)
         self.n_decoded = 0
 
 
@@ -48,6 +56,11 @@ class Decoder:
         self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._pic: PictureState | None = None
         self._slice_counter = 0
+        # single-reference DPB (sliding window, num_ref_frames=1 for now):
+        # padded luma half-pel planes + padded chroma of the last ref pic
+        self._ref_planes = None
+        self._ref_u_pad = None
+        self._ref_v_pad = None
 
     # ------------------------------------------------------------- NAL
 
@@ -74,6 +87,11 @@ class Decoder:
             self.frames.append((pic.y.astype(np.uint8),
                                 pic.u.astype(np.uint8),
                                 pic.v.astype(np.uint8)))
+            # store as the reference picture (DPB size 1, sliding window)
+            g_pad = rip.pad_plane(pic.y, REF_PAD)
+            self._ref_planes = (g_pad,) + rip.half_pel_planes(g_pad)
+            self._ref_u_pad = rip.pad_plane(pic.u, REF_PAD // 2)
+            self._ref_v_pad = rip.pad_plane(pic.v, REF_PAD // 2)
         self._pic = None
 
     # ----------------------------------------------------------- slice
@@ -82,8 +100,8 @@ class Decoder:
         assert self.sps is not None and self.pps is not None
         r = BitReader(rbsp)
         hdr = SliceHeader.parse(r, self.sps, self.pps, ntype, ref_idc)
-        if hdr.slice_type != SLICE_I:
-            raise NotImplementedError("P/B slice decode")
+        if hdr.slice_type not in (SLICE_I, SLICE_P):
+            raise NotImplementedError("B slice decode")
         if hdr.first_mb_in_slice == 0:
             self._finish_picture()
         if self._pic is None:
@@ -94,12 +112,26 @@ class Decoder:
         qp = hdr.slice_qp
         addr = hdr.first_mb_in_slice
         n_mbs = pic.wm * pic.hm
-        while True:
-            self._decode_mb_i(r, pic, addr, qp, sid)
-            addr += 1
-            pic.n_decoded += 1
-            if addr >= n_mbs or not r.more_rbsp_data():
-                break
+        if hdr.slice_type == SLICE_I:
+            while True:
+                self._decode_mb_i(r, pic, addr, qp, sid)
+                addr += 1
+                pic.n_decoded += 1
+                if addr >= n_mbs or not r.more_rbsp_data():
+                    break
+        else:
+            assert self._ref_planes is not None, "P slice without reference"
+            while addr < n_mbs and r.more_rbsp_data():
+                run = read_ue(r)
+                for _ in range(run):
+                    self._decode_mb_skip(pic, addr, sid)
+                    addr += 1
+                    pic.n_decoded += 1
+                if addr >= n_mbs or not r.more_rbsp_data():
+                    break
+                self._decode_mb_p(r, pic, addr, qp, sid)
+                addr += 1
+                pic.n_decoded += 1
 
     # ------------------------------------------------------ macroblock
 
@@ -111,15 +143,17 @@ class Decoder:
         return pic.slice_id[r, c] == sid
 
     def _decode_mb_i(self, r: BitReader, pic: PictureState, addr: int,
-                     qp: int, sid: int):
+                     qp: int, sid: int, mb_type: int | None = None):
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
+        pic.ref[mr, mc] = mvpred.INTRA
         at = self._avail_mb(pic, mr, mc, -1, 0, sid)
         al = self._avail_mb(pic, mr, mc, 0, -1, sid)
         atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
         atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
 
-        mb_type = read_ue(r)
+        if mb_type is None:
+            mb_type = read_ue(r)
         if mb_type == 25:
             raise NotImplementedError("I_PCM")
         if mb_type > 25:
@@ -333,6 +367,136 @@ class Decoder:
                                               dc=int(dc_deq[by, bx]))
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
             plane[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + recon)
+
+
+    # ------------------------------------------------------ P slices
+
+    def _mv_context(self, pic, mr, mc, sid):
+        def get(dr, dc_):
+            rr, cc = mr + dr, mc + dc_
+            if rr < 0 or cc < 0 or cc >= pic.wm or pic.slice_id[rr, cc] != sid:
+                return np.zeros(2, np.int64), mvpred.UNAVAIL
+            return pic.mv[rr, cc].copy(), int(pic.ref[rr, cc])
+        mv_a, ref_a = get(0, -1)
+        mv_b, ref_b = get(-1, 0)
+        mv_c, ref_c = get(-1, 1)
+        if ref_c == mvpred.UNAVAIL:
+            mv_c, ref_c = get(-1, -1)
+        return (mv_a, ref_a), (mv_b, ref_b), (mv_c, ref_c)
+
+    def _mv_pred(self, pic, mr, mc, sid):
+        (mv_a, ref_a), (mv_b, ref_b), (mv_c, ref_c) = self._mv_context(
+            pic, mr, mc, sid)
+        return mvpred.predict_mv_np(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+
+    def _skip_mv(self, pic, mr, mc, sid):
+        (mv_a, ref_a), (mv_b, ref_b), _ = self._mv_context(pic, mr, mc, sid)
+        pred = self._mv_pred(pic, mr, mc, sid)
+        return mvpred.skip_mv_np(pred, mv_a, ref_a, mv_b, ref_b)
+
+    def _mc_recon(self, pic, mr, mc, mv):
+        """Luma + chroma MC prediction for a 16x16 MB at qpel mv."""
+        y0, x0 = mr * 16 + REF_PAD, mc * 16 + REF_PAD
+        pred_y = rip.mc_luma_block(self._ref_planes, y0, x0,
+                                   int(mv[0]), int(mv[1]))
+        cy0, cx0 = mr * 8 + REF_PAD // 2, mc * 8 + REF_PAD // 2
+        pred_u = rip.mc_chroma_block(self._ref_u_pad, cy0, cx0,
+                                     int(mv[0]), int(mv[1]))
+        pred_v = rip.mc_chroma_block(self._ref_v_pad, cy0, cx0,
+                                     int(mv[0]), int(mv[1]))
+        return pred_y, pred_u, pred_v
+
+    def _decode_mb_skip(self, pic, addr: int, sid: int):
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        mv = self._skip_mv(pic, mr, mc, sid)
+        pic.mv[mr, mc] = mv
+        pic.ref[mr, mc] = 0
+        pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
+        pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = pred_y
+        pic.u[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_u
+        pic.v[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_v
+        pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 0
+
+    def _decode_mb_p(self, r: BitReader, pic: PictureState, addr: int,
+                     qp: int, sid: int):
+        mb_type = read_ue(r)
+        if mb_type >= 5:
+            self._decode_mb_i(r, pic, addr, qp, sid, mb_type=mb_type - 5)
+            return
+        if mb_type != 0:
+            raise NotImplementedError(f"P mb_type {mb_type} (partitions)")
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        # 16x16, single reference: no ref_idx (te() absent for 1 ref pic)
+        mvd_x = read_se(r)
+        mvd_y = read_se(r)
+        pred = self._mv_pred(pic, mr, mc, sid)
+        mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+        pic.mv[mr, mc] = mv
+        pic.ref[mr, mc] = 0
+        cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp > 0:
+            qp = qp + read_se(r)
+        pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
+        # luma residual (16-coeff blocks, inter)
+        recon = np.zeros((16, 16), dtype=np.int64)
+        for idx, (by, bx) in enumerate(BLK_ORDER):
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            if (cbp_luma >> (idx // 4)) & 1:
+                ncv = self._nc_luma(pic, gr, gc, sid)
+                scanned = cavlc.decode_block(r, ncv, 16)
+                pic.luma_tc[gr, gc] = (scanned != 0).sum()
+            else:
+                scanned = np.zeros(16, dtype=np.int64)
+                pic.luma_tc[gr, gc] = 0
+            coeff = np.zeros(16, dtype=np.int64)
+            coeff[rt.ZIGZAG_4x4] = scanned
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                rt.residual_block_recon(coeff.reshape(4, 4), qp)
+        pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+            rt.clip1(pred_y + recon)
+        self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
+                                 (pred_u, pred_v), sid)
+
+    def _recon_chroma_inter(self, r, pic, mr, mc, qp, cbp_chroma, preds, sid):
+        cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        y0, x0 = mr * 8, mc * 8
+        dcs = []
+        for comp in range(2):
+            if cbp_chroma >= 1:
+                dc_scan = cavlc.decode_block(r, -1, 4)
+            else:
+                dc_scan = np.zeros(4, dtype=np.int64)
+            dcs.append(dc_scan.reshape(2, 2))
+        acs = [[None] * 4 for _ in range(2)]
+        for comp in range(2):
+            for idx in range(4):
+                by, bx = idx // 2, idx % 2
+                gr, gc = mr * 2 + by, mc * 2 + bx
+                if cbp_chroma == 2:
+                    ncv = self._nc_chroma(pic, comp, gr, gc, sid)
+                    ac = cavlc.decode_block(r, ncv, 15)
+                    pic.chroma_tc[comp, gr, gc] = (ac != 0).sum()
+                else:
+                    ac = np.zeros(15, dtype=np.int64)
+                    pic.chroma_tc[comp, gr, gc] = 0
+                acs[comp][idx] = ac
+        planes = (pic.u, pic.v)
+        for comp in range(2):
+            dc_deq = rt.hadamard2x2_inv_dequant_dc(dcs[comp], cqp)
+            recon = np.zeros((8, 8), dtype=np.int64)
+            for idx in range(4):
+                by, bx = idx // 2, idx % 2
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4[1:]] = acs[comp][idx]
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), cqp,
+                                            dc=int(dc_deq[by, bx]))
+            planes[comp][y0:y0 + 8, x0:x0 + 8] = \
+                rt.clip1(preds[comp] + recon)
 
 
 def decode_annexb(stream: bytes):
