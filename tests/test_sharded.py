@@ -35,7 +35,10 @@ def test_tiled_encode_matches_single_device_bitstream():
     out, ys, stats = step(y, u, v)
 
     # reference: single-device encoder with slices_per_frame == n_tiles
-    cfg = EncoderConfig(width=W, height=H, qp=QP, slices_per_frame=n_tiles)
+    # (deblock off: the tiled path compares unfiltered recon; the filter
+    # itself is covered by test_deblock.py)
+    cfg = EncoderConfig(width=W, height=H, qp=QP, slices_per_frame=n_tiles,
+                        deblock=False)
     enc = Encoder(cfg)
     ref_stream = enc.encode_sequence(frames)
 

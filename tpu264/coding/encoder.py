@@ -75,7 +75,51 @@ class Encoder:
         if gop_mode == "ippp":
             self._encode_p = make_inter_encoder(
                 self.sched, cfg.qp_inter, search_range=cfg.search_range)
+        # in-loop deblocking: idc 0 (on) single-slice, idc 2 (slice-local)
+        # multi-slice, idc 1 (off) when disabled
+        self.deblock_idc = (1 if not cfg.deblock
+                            else (0 if cfg.slices_per_frame == 1 else 2))
+        self._deblock = {}
+        if cfg.deblock:
+            from tpu264.kernels.deblock import make_deblocker
+            from tpu264.ref.transform import chroma_qp
+            for q in {cfg.qp, cfg.qp_inter}:
+                self._deblock[q] = make_deblocker(
+                    self.sched, q, chroma_qp(q),
+                    filter_across_slices=(self.deblock_idc == 0))
         self.stats: list[FrameStats] = []
+
+    def _apply_deblock(self, dev_out, mb, qp: int, is_inter=None, mv=None):
+        """Filter the reconstructed picture for output/DPB (intra
+        prediction already consumed the unfiltered samples)."""
+        import jax.numpy as jnp
+        from tpu264.coding import mvpred
+        from tpu264.entropy import mb_syntax
+        cfg = self.cfg
+        n = cfg.width_mbs * cfg.height_mbs
+        sel16 = mb["sel16"].astype(bool)
+        if is_inter is None:
+            is_inter = np.zeros(n, dtype=bool)
+        cbp_luma, _, _ = mb_syntax.compute_cbp(
+            sel16, mb["luma_ac"].astype(np.int64), mb["chroma_dc"],
+            mb["chroma_ac"])
+        tc = mb_syntax.luma_tc_grid(sel16, cbp_luma,
+                                    mb["luma_ac"].astype(np.int64),
+                                    cfg.width_mbs, cfg.height_mbs)
+        intra_mb = (~is_inter).reshape(cfg.height_mbs, cfg.width_mbs)
+        if mv is None:
+            mv = np.zeros((n, 2), dtype=np.int64)
+        mv_grid = np.where(is_inter[:, None], mv, 0).reshape(
+            cfg.height_mbs, cfg.width_mbs, 2)
+        ref_grid = np.where(is_inter, 0, mvpred.INTRA).reshape(
+            cfg.height_mbs, cfg.width_mbs)
+        fy, fu, fv = self._deblock[qp](
+            dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
+            jnp.asarray(intra_mb), jnp.asarray(tc), jnp.asarray(mv_grid),
+            jnp.asarray(ref_grid))
+        return (np.asarray(fy, dtype=np.uint8),
+                np.asarray(fu, dtype=np.uint8),
+                np.asarray(fv, dtype=np.uint8))
 
     def encode_sequence(self, frames) -> bytes:
         """frames: iterable of (y, u, v) uint8 planes. Returns Annex-B."""
@@ -128,16 +172,19 @@ class Encoder:
                 frame_num=frame_num,
                 idr_pic_id=idr_pic_id,
                 slice_qp=cfg.qp,
-                disable_deblocking_filter_idc=1,
+                disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=True,
             )
             sink = hdr.write_rbsp_head(self.sps, self.pps)
             rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
                                            lengths[first_mb:last_mb], sink)
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
-        recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                 np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                 np.asarray(dev_out["recon_v"], dtype=np.uint8))
+        if cfg.deblock:
+            recon = self._apply_deblock(dev_out, mb, cfg.qp)
+        else:
+            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
         return nalus, recon
 
     def encode_p_frame(self, y, u, v, ref, frame_num: int):
@@ -160,7 +207,7 @@ class Encoder:
                 slice_type=SLICE_P,
                 frame_num=frame_num,
                 slice_qp=cfg.qp_inter,
-                disable_deblocking_filter_idc=1,
+                disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=False,
                 nal_ref_idc=2,
             )
@@ -170,9 +217,14 @@ class Encoder:
                                            lengths[first_mb:last_mb], sink,
                                            final_skip_run=tail)
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
-        recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                 np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                 np.asarray(dev_out["recon_v"], dtype=np.uint8))
+        if cfg.deblock:
+            recon = self._apply_deblock(dev_out, mb, cfg.qp_inter,
+                                        is_inter=mb["is_inter"].astype(bool),
+                                        mv=mb["mv"].astype(np.int64))
+        else:
+            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
         return nalus, recon
 
 

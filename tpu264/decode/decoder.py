@@ -42,6 +42,8 @@ class PictureState:
         self.chroma_tc = np.zeros((2, self.hm * 2, self.wm * 2), dtype=np.int64)
         # slice id per MB (-1 = not yet decoded)
         self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
+        self.deblock_idc = None    # uniform across the picture's slices
+        self.qp = None
         # per-MB motion state (qpel; ref: -2 unavail/undecoded, -1 intra,
         # 0 inter-ref0)
         self.mv = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
@@ -84,6 +86,8 @@ class Decoder:
         if pic is not None and pic.n_decoded > 0:
             assert pic.n_decoded == pic.wm * pic.hm, \
                 f"picture incomplete: {pic.n_decoded}/{pic.wm * pic.hm} MBs"
+            if pic.deblock_idc in (0, 2):
+                self._deblock_picture(pic)
             self.frames.append((pic.y.astype(np.uint8),
                                 pic.u.astype(np.uint8),
                                 pic.v.astype(np.uint8)))
@@ -110,6 +114,15 @@ class Decoder:
         sid = self._slice_counter
         pic = self._pic
         qp = hdr.slice_qp
+        idc = (hdr.disable_deblocking_filter_idc
+               if self.pps.deblocking_filter_control_present_flag else 0)
+        assert pic.deblock_idc in (None, idc), \
+            "per-slice deblock idc mix not supported"
+        assert pic.qp in (None, qp), "per-slice QP mix not supported"
+        assert hdr.slice_alpha_c0_offset_div2 == 0 \
+            and hdr.slice_beta_offset_div2 == 0, "filter offsets"
+        pic.deblock_idc = idc
+        pic.qp = qp
         addr = hdr.first_mb_in_slice
         n_mbs = pic.wm * pic.hm
         if hdr.slice_type == SLICE_I:
@@ -368,6 +381,25 @@ class Decoder:
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
             plane[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + recon)
 
+
+    # ------------------------------------------------------ deblocking
+
+    def _deblock_picture(self, pic: PictureState):
+        """Apply the in-loop filter to a completed picture (spec 8.7)."""
+        from tpu264.ref import deblock as rdb
+        intra_mb = pic.ref == mvpred.INTRA
+        left_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
+        top_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
+        left_ok[:, 1:] = True
+        top_ok[1:, :] = True
+        if pic.deblock_idc == 2:   # do not filter across slice boundaries
+            left_ok[:, 1:] &= pic.slice_id[:, 1:] == pic.slice_id[:, :-1]
+            top_ok[1:, :] &= pic.slice_id[1:, :] == pic.slice_id[:-1, :]
+        cqp = rt.chroma_qp(pic.qp, self.pps.chroma_qp_index_offset)
+        y, u, v = rdb.deblock_frame(
+            pic.y, pic.u, pic.v, pic.qp, cqp, intra_mb, pic.luma_tc,
+            pic.mv, pic.ref, left_ok, top_ok)
+        pic.y, pic.u, pic.v = y, u, v
 
     # ------------------------------------------------------ P slices
 
