@@ -85,6 +85,12 @@ class BitSink:
     def nbits(self) -> int:
         return self._nbits
 
+    def cabac_align(self) -> None:
+        """cabac_alignment_one_bit padding to a byte boundary (spec 7.3.4)."""
+        align = (-self._nbits) % 8
+        if align:
+            self.put((1 << align) - 1, align)
+
     def rbsp_trailing_bits(self) -> None:
         """rbsp_stop_one_bit + alignment zeros (spec 7.3.2.11)."""
         self.put(1, 1)

@@ -37,6 +37,7 @@ class SliceHeader:
     slice_beta_offset_div2: int = 0
     is_idr: bool = True
     nal_ref_idc: int = 3
+    cabac_init_idc: int = 0
 
     def write_rbsp_head(self, sps: SPS, pps: PPS) -> BitSink:
         """Write the slice header into a fresh BitSink (slice data follows)."""
@@ -131,7 +132,7 @@ class SliceHeader:
                 if r.read(1):
                     raise NotImplementedError("adaptive MMCO")
         if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:
-            read_ue(r)                    # cabac_init_idc
+            h.cabac_init_idc = read_ue(r)
         h.slice_qp = pps.pic_init_qp + read_se(r)
         if pps.deblocking_filter_control_present_flag:
             h.disable_deblocking_filter_idc = read_ue(r)

@@ -65,8 +65,14 @@ class Encoder:
             pic_width_in_mbs=cfg.width_mbs,
             pic_height_in_map_units=cfg.height_mbs,
         )
+        self.cabac = cfg.symbol_mode.upper() == "CABAC"
+        if self.cabac and self.sps.profile_idc == 66:
+            # CABAC requires Main/High (spec A.2.1); JM errors out — we
+            # upgrade the signalled profile instead
+            self.sps.profile_idc = 77
+            self.sps.constraint_flags = 0
         self.pps = PPS(
-            entropy_coding_mode_flag=0,
+            entropy_coding_mode_flag=1 if self.cabac else 0,
             pic_init_qp=26,
             deblocking_filter_control_present_flag=1,
         )
@@ -158,9 +164,14 @@ class Encoder:
         dev_out, ys = self._encode_frame(np.asarray(y), np.asarray(u),
                                          np.asarray(v))
         mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
-        values, lengths = slice_writer.serialize_frame_mbs(
-            mb, cfg.width_mbs, cfg.height_mbs,
-            self.sched.slice_starts.tolist())
+        slice_rows = self.sched.slice_starts.tolist()
+        if self.cabac:
+            from tpu264.entropy.cabac_slice import encode_frame_cabac
+            payloads, _ = encode_frame_cabac(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, cfg.qp)
+        else:
+            values, lengths = slice_writer.serialize_frame_mbs(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows)
         nalus = []
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
         for s in range(cfg.slices_per_frame):
@@ -176,8 +187,13 @@ class Encoder:
                 is_idr=True,
             )
             sink = hdr.write_rbsp_head(self.sps, self.pps)
-            rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
-                                           lengths[first_mb:last_mb], sink)
+            if self.cabac:
+                sink.cabac_align()
+                rbsp = sink.to_bytes() + payloads[s]
+            else:
+                rbsp = slice_writer.pack_slice(
+                    values[first_mb:last_mb], lengths[first_mb:last_mb],
+                    sink)
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
         if cfg.deblock:
             recon = self._apply_deblock(dev_out, mb, cfg.qp)
@@ -194,9 +210,15 @@ class Encoder:
                                      np.asarray(v), np.asarray(ref[0]),
                                      np.asarray(ref[1]), np.asarray(ref[2]))
         mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
-        values, lengths, skipped = slice_writer.serialize_frame_mbs_p(
-            mb, cfg.width_mbs, cfg.height_mbs,
-            self.sched.slice_starts.tolist())
+        slice_rows = self.sched.slice_starts.tolist()
+        if self.cabac:
+            from tpu264.entropy.cabac_slice import encode_frame_cabac
+            payloads, skipped = encode_frame_cabac(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
+                cfg.qp_inter, p_slice=True)
+        else:
+            values, lengths, skipped = slice_writer.serialize_frame_mbs_p(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows)
         nalus = []
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
         for s in range(cfg.slices_per_frame):
@@ -212,10 +234,15 @@ class Encoder:
                 nal_ref_idc=2,
             )
             sink = hdr.write_rbsp_head(self.sps, self.pps)
-            tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
-            rbsp = slice_writer.pack_slice(values[first_mb:last_mb],
-                                           lengths[first_mb:last_mb], sink,
-                                           final_skip_run=tail)
+            if self.cabac:
+                sink.cabac_align()
+                rbsp = sink.to_bytes() + payloads[s]
+            else:
+                tail = slice_writer.trailing_skip_run(skipped, first_mb,
+                                                      last_mb)
+                rbsp = slice_writer.pack_slice(
+                    values[first_mb:last_mb], lengths[first_mb:last_mb],
+                    sink, final_skip_run=tail)
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         if cfg.deblock:
             recon = self._apply_deblock(dev_out, mb, cfg.qp_inter,

@@ -49,6 +49,7 @@ class PictureState:
         self.mv = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
         self.ref = np.full((self.hm, self.wm), mvpred.UNAVAIL, dtype=np.int64)
         self.n_decoded = 0
+        self.cabac_state = None
 
 
 class Decoder:
@@ -125,6 +126,9 @@ class Decoder:
         pic.qp = qp
         addr = hdr.first_mb_in_slice
         n_mbs = pic.wm * pic.hm
+        if self.pps.entropy_coding_mode_flag:
+            self._decode_slice_cabac(r, rbsp, hdr, sid)
+            return
         if hdr.slice_type == SLICE_I:
             while True:
                 self._decode_mb_i(r, pic, addr, qp, sid)
@@ -145,6 +149,154 @@ class Decoder:
                 self._decode_mb_p(r, pic, addr, qp, sid)
                 addr += 1
                 pic.n_decoded += 1
+
+    # ------------------------------------------------------ CABAC slices
+
+    def _decode_slice_cabac(self, r, rbsp: bytes, hdr, sid: int):
+        from tpu264.decode.cabac_parse import CabacSliceParser
+        from tpu264.entropy import cabac_ctx as cs
+        pic = self._pic
+        if getattr(pic, "cabac_state", None) is None:
+            pic.cabac_state = cs.CabacFrameState(pic.wm, pic.hm)
+            pic.cabac_state.slice_id = pic.slice_id   # shared availability
+        p_slice = hdr.slice_type == SLICE_P
+        table = (1 + hdr.cabac_init_idc) if p_slice else 0
+        parser = CabacSliceParser(rbsp, r.pos, table, hdr.slice_qp,
+                                  pic.cabac_state, sid)
+        dec = self
+
+        class IntraCB:
+            def mpm(self, gr, gc):
+                return dec._mpm(pic, gr, gc, sid)
+
+            def set(self, gr, gc, mode):
+                pic.modes[gr, gc] = mode
+
+        cb = IntraCB()
+        addr = hdr.first_mb_in_slice
+        n_mbs = pic.wm * pic.hm
+        qp = hdr.slice_qp
+        while True:
+            mr, mc = addr // pic.wm, addr % pic.wm
+            pic.slice_id[mr, mc] = sid
+            if p_slice and parser.mb_skip(mr, mc):
+                parser.note_skip(mr, mc)
+                self._decode_mb_skip(pic, addr, sid)
+            else:
+                mbv = parser.parse_mb(mr, mc, p_slice, cb)
+                qp = qp + mbv["qp_delta"]
+                self._recon_mb_cabac(pic, mr, mc, qp, mbv, sid)
+            pic.n_decoded += 1
+            addr += 1
+            if parser.end_of_slice():
+                break
+            if addr >= n_mbs:
+                raise ValueError("CABAC slice overruns picture")
+
+    def _recon_mb_cabac(self, pic, mr, mc, qp, mbv, sid):
+        at = self._avail_mb(pic, mr, mc, -1, 0, sid)
+        al = self._avail_mb(pic, mr, mc, 0, -1, sid)
+        atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
+        atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
+        cbp_l, cbp_c = mbv["cbp_luma"], mbv["cbp_chroma"]
+
+        if mbv["inter"]:
+            mvd_y, mvd_x = mbv["mvd"]
+            pred = self._mv_pred(pic, mr, mc, sid)
+            mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+            pic.mv[mr, mc] = mv
+            pic.ref[mr, mc] = 0
+            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
+            recon = np.zeros((16, 16), dtype=np.int64)
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                scanned = mbv["luma4"][idx]
+                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+                rt.clip1(pred_y + recon)
+            self._recon_chroma_vals(pic, mr, mc, qp, mbv, (pred_u, pred_v))
+            return
+
+        pic.ref[mr, mc] = mvpred.INTRA
+        if mbv["mb_type"] == 0:          # Intra_4x4
+            modes = mbv["modes"]
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                gr, gc = mr * 4 + by, mc * 4 + bx
+                scanned = mbv["luma4"][idx]
+                pic.luma_tc[gr, gc] = (scanned != 0).sum()
+                top8, left4, tl, b_at, b_al, b_atl = self._luma_neighbors(
+                    pic, mr, mc, by, bx, at, al, atl, atr)
+                pred = ri.predict_4x4(int(modes[idx]), top8, left4, tl,
+                                      b_at, b_al, b_atl)
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                res = rt.residual_block_recon(coeff.reshape(4, 4), qp)
+                y0, x0 = mr * 16 + by * 4, mc * 16 + bx * 4
+                pic.y[y0:y0 + 4, x0:x0 + 4] = rt.clip1(pred + res)
+        else:                            # Intra_16x16
+            y0, x0 = mr * 16, mc * 16
+            top = (pic.y[y0 - 1, x0:x0 + 16] if at
+                   else np.zeros(16, dtype=np.int64))
+            left = (pic.y[y0:y0 + 16, x0 - 1] if al
+                    else np.zeros(16, dtype=np.int64))
+            tl = int(pic.y[y0 - 1, x0 - 1]) if atl else 0
+            pred = ri.predict_16x16(mbv["i16mode"], top, left, tl,
+                                    at, al, atl)
+            dc = np.zeros(16, dtype=np.int64)
+            dc[rt.ZIGZAG_4x4] = mbv["luma_dc"]
+            dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp)
+            recon = np.zeros((16, 16), dtype=np.int64)
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                ac = mbv["luma_ac15"][idx]
+                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (ac != 0).sum()
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4[1:]] = ac
+                res = rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                                              dc=int(dc_deq[by, bx]))
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
+            pic.y[y0:y0 + 16, x0:x0 + 16] = rt.clip1(pred + recon)
+
+        # chroma (intra)
+        cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        y0, x0 = mr * 8, mc * 8
+        planes = (pic.u, pic.v)
+        for comp in range(2):
+            plane = planes[comp]
+            top = (plane[y0 - 1, x0:x0 + 8] if at
+                   else np.zeros(8, dtype=np.int64))
+            left = (plane[y0:y0 + 8, x0 - 1] if al
+                    else np.zeros(8, dtype=np.int64))
+            tl = int(plane[y0 - 1, x0 - 1]) if atl else 0
+            pred = ri.predict_chroma8x8(mbv["cmode"], top, left, tl,
+                                        at, al, atl)
+            plane[y0:y0 + 8, x0:x0 + 8] = self._chroma_comp_recon(
+                pic, mr, mc, cqp, mbv, comp, pred)
+
+    def _chroma_comp_recon(self, pic, mr, mc, cqp, mbv, comp, pred):
+        dc_deq = rt.hadamard2x2_inv_dequant_dc(
+            mbv["chroma_dc"][comp].reshape(2, 2), cqp)
+        recon = np.zeros((8, 8), dtype=np.int64)
+        for idx in range(4):
+            by, bx = idx // 2, idx % 2
+            ac = mbv["chroma_ac"][comp, idx]
+            pic.chroma_tc[comp, mr * 2 + by, mc * 2 + bx] = (ac != 0).sum()
+            coeff = np.zeros(16, dtype=np.int64)
+            coeff[rt.ZIGZAG_4x4[1:]] = ac
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                rt.residual_block_recon(coeff.reshape(4, 4), cqp,
+                                        dc=int(dc_deq[by, bx]))
+        return rt.clip1(pred + recon)
+
+    def _recon_chroma_vals(self, pic, mr, mc, qp, mbv, preds):
+        cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        y0, x0 = mr * 8, mc * 8
+        planes = (pic.u, pic.v)
+        for comp in range(2):
+            planes[comp][y0:y0 + 8, x0:x0 + 8] = self._chroma_comp_recon(
+                pic, mr, mc, cqp, mbv, comp, preds[comp])
 
     # ------------------------------------------------------ macroblock
 
