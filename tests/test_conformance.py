@@ -1,4 +1,4 @@
-"""External-decoder conformance: the real ffmpeg h264 decoder (via cv2)
+"""External-decoder conformance: libavcodec (via ctypes, exact planes)
 must accept our bitstreams without errors and reproduce our reconstruction
 bit-exactly (BASELINE.json:4 decoder bit-exactness gate, with ffmpeg
 standing in for JM as the conforming reference decoder)."""
@@ -6,7 +6,7 @@ standing in for JM as the conforming reference decoder)."""
 import numpy as np
 import pytest
 
-from ffmpeg_util import ffmpeg_decode
+from lavc_util import lavc_decode
 from tpu264.config import EncoderConfig
 from tpu264.coding.encoder import Encoder
 from tpu264.media.synth import synth_frame
@@ -25,21 +25,19 @@ def encoded():
 
 def test_ffmpeg_accepts_stream(encoded):
     enc, frames, stream = encoded
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == [], errors
     assert len(ff) == len(frames)
 
 
 def test_ffmpeg_bit_exact_recon(encoded):
     enc, frames, stream = encoded
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == []
     for (fy, fu, fv), (ry, ru, rv) in zip(ff, enc.recons):
-        assert fy is not None
         np.testing.assert_array_equal(fy, ry)
-        if fu is not None:  # backend sometimes surfaces luma only
-            np.testing.assert_array_equal(fu, ru)
-            np.testing.assert_array_equal(fv, rv)
+        np.testing.assert_array_equal(fu, ru)
+        np.testing.assert_array_equal(fv, rv)
 
 
 @pytest.mark.parametrize("qp", [12, 35, 46])
@@ -48,6 +46,6 @@ def test_ffmpeg_across_qps(qp):
     enc = Encoder(cfg)
     y, u, v = synth_frame(W, H, 0)
     stream = enc.encode_sequence([(y, u, v)])
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == [], (qp, errors)
     np.testing.assert_array_equal(ff[0][0], enc.recons[0][0])

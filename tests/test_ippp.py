@@ -4,7 +4,7 @@ MC + P_Skip, closed-loop and external-decoder bit-exact."""
 import numpy as np
 import pytest
 
-from ffmpeg_util import ffmpeg_decode
+from lavc_util import lavc_decode
 from tpu264.config import EncoderConfig
 from tpu264.coding.encoder import Encoder
 from tpu264.decode import decode_annexb
@@ -36,7 +36,7 @@ def test_ippp_closed_loop(encoded):
 
 def test_ippp_ffmpeg_bit_exact(encoded):
     enc, frames, stream = encoded
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == []
     assert len(ff) == 4
     for f, r in zip(ff, enc.recons):
@@ -68,7 +68,7 @@ def test_static_content_skips():
     decoded = decode_annexb(stream)
     for d, r in zip(decoded, enc.recons):
         np.testing.assert_array_equal(d[0], r[0])
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == []
     np.testing.assert_array_equal(ff[2][0], enc.recons[2][0])
 
@@ -83,7 +83,7 @@ def test_periodic_intra():
     decoded = decode_annexb(stream)
     for d, r in zip(decoded, enc.recons):
         np.testing.assert_array_equal(d[0], r[0])
-    ff, errors = ffmpeg_decode(stream, W, H)
+    ff, errors = lavc_decode(stream)
     assert errors == []
 
 

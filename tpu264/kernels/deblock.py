@@ -77,7 +77,7 @@ def filter_chroma_lines(win, bs, alpha: int, beta: int, tc0_row):
     o_p0 = jnp.where(use_n, jnp.clip(p0 + delta, 0, 255),
                      jnp.where(s4, (2 * p1 + p0 + q1 + 2) >> 2, p0))
     o_q0 = jnp.where(use_n, jnp.clip(q0 - delta, 0, 255),
-                     jnp.where(s4, (2 * q1 + q0 + p0 + 2) >> 2, q0))
+                     jnp.where(s4, (2 * q1 + q0 + p1 + 2) >> 2, q0))
     return jnp.stack([p1, o_p0, o_q0, q1], axis=-1)
 
 

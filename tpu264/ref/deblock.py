@@ -109,7 +109,7 @@ def filter_chroma_lines(win: np.ndarray, bs: np.ndarray, alpha: int,
     out[:, 2] = np.where(use_n, np.clip(q0 - delta, 0, 255), out[:, 2])
     s4 = fflag & (bs == 4)
     out[:, 1] = np.where(s4, (2 * p1 + p0 + q1 + 2) >> 2, out[:, 1])
-    out[:, 2] = np.where(s4, (2 * q1 + q0 + p0 + 2) >> 2, out[:, 2])
+    out[:, 2] = np.where(s4, (2 * q1 + q0 + p1 + 2) >> 2, out[:, 2])
     return out
 
 
