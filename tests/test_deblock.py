@@ -13,7 +13,7 @@ from tpu264.config import EncoderConfig
 from tpu264.coding.encoder import Encoder
 from tpu264.coding.wavefront import build_schedule
 from tpu264.decode import decode_annexb
-from tpu264.kernels.deblock import make_deblocker
+from tpu264.kernels.deblock import make_deblocker, make_deblocker_skewed
 from tpu264.media.synth import synth_frame
 from tpu264.ref import deblock as rdb
 from tpu264.ref.transform import chroma_qp
@@ -21,8 +21,9 @@ from tpu264.ref.transform import chroma_qp
 W, H = 48, 32
 
 
+@pytest.mark.parametrize("maker", [make_deblocker, make_deblocker_skewed])
 @pytest.mark.parametrize("qp,seed", [(28, 0), (12, 1), (40, 2)])
-def test_kernel_matches_scalar_ref(qp, seed):
+def test_kernel_matches_scalar_ref(qp, seed, maker):
     rng = np.random.default_rng(seed)
     wm, hm = 3, 2
     y = rng.integers(0, 256, (hm * 16, wm * 16))
@@ -40,7 +41,7 @@ def test_kernel_matches_scalar_ref(qp, seed):
     ry, ru, rv = rdb.deblock_frame(y, u, v, qp, cqp, intra, tc, mv, ref,
                                    left_ok, top_ok)
     sched = build_schedule(wm, hm, 1)
-    fn = make_deblocker(sched, qp, cqp, filter_across_slices=True)
+    fn = maker(sched, qp, cqp, filter_across_slices=True)
     ky, ku, kv = fn(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     jnp.asarray(intra), jnp.asarray(tc), jnp.asarray(mv),
                     jnp.asarray(ref))

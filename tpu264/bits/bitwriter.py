@@ -36,19 +36,49 @@ def pack_bits(values: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, int]
     if lengths.min() < 0 or lengths.max() > 64:
         raise ValueError("bit lengths must be in [0, 64]")
 
+    # compact away length-0 slots (the fixed element grids are mostly empty)
+    nz = lengths > 0
+    values = values[nz]
+    lengths = lengths[nz]
     total = int(lengths.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint8), 0
     starts = np.cumsum(lengths) - lengths
-    # element index owning each output bit, and bit position within element
-    elem = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
-    k = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
-    shift = (lengths[elem] - 1 - k).astype(np.uint64)
-    bits = ((values[elem] >> shift) & np.uint64(1)).astype(np.uint8)
-    pad = (-total) % 8
-    if pad:
-        bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
-    return np.packbits(bits), total
+
+    # Each code contributes to at most 3 consecutive 32-bit words (len<=64
+    # plus up to 31 bits of offset).  Align every code's bits inside a
+    # 96-bit window starting at its word: top 32 bits -> word w, next 32 ->
+    # w+1, next 32 -> w+2.  OR-reduce per word via run-boundary reduceat
+    # (codes are in stream order, so word indices are non-decreasing).
+    n_words = (total + 31) // 32
+    off = (starts & 31).astype(np.uint64)
+    w = (starts >> 5).astype(np.int64)
+    lens64 = lengths.astype(np.uint64)
+    sh = np.uint64(96) - off - lens64            # left shift within the window
+    ge64 = sh >= 64
+    # hi = window bits [64,96); mid = window bits [0,64)  (shifts clamped so
+    # both `where` branches stay defined)
+    hi = np.where(ge64,
+                  values << np.where(ge64, sh - np.uint64(64), np.uint64(0)),
+                  values >> np.where(ge64, np.uint64(0), np.uint64(64) - sh))
+    mid = np.where(ge64, np.uint64(0),
+                   values << np.minimum(sh, np.uint64(63)))
+    words = np.zeros(n_words, dtype=np.uint32)
+    m32 = np.uint64(0xFFFFFFFF)
+    for dw, part in ((0, hi & m32), (1, mid >> np.uint64(32)), (2, mid & m32)):
+        pw = w + dw
+        keep = (part != 0) & (pw < n_words)
+        pw = pw[keep]
+        pv = part[keep].astype(np.uint32)
+        if pw.size == 0:
+            continue
+        run_start = np.empty(pw.size, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = pw[1:] != pw[:-1]       # pw is non-decreasing
+        bounds = np.flatnonzero(run_start)
+        words[pw[bounds]] |= np.bitwise_or.reduceat(pv, bounds)
+    out = words.astype(">u4").view(np.uint8)
+    return out[: (total + 7) // 8].copy(), total
 
 
 class BitSink:

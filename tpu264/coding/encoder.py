@@ -10,6 +10,9 @@ import time
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from tpu264.bits import nal
 from tpu264.bits.bitwriter import BitSink
 from tpu264.bits.params import PPS, SPS
@@ -17,7 +20,8 @@ from tpu264.bits.slicehdr import SLICE_I, SLICE_P, SliceHeader
 from tpu264.config import EncoderConfig
 from tpu264.entropy import slice_writer
 from .inter_frame import make_inter_encoder
-from .intra_frame import make_intra_encoder, reorder_wave_outputs
+from .intra_frame import (make_intra_encoder, reorder_wave_outputs,
+                          reorder_wave_outputs_j)
 from .wavefront import build_schedule
 
 
@@ -87,13 +91,74 @@ class Encoder:
                             else (0 if cfg.slices_per_frame == 1 else 2))
         self._deblock = {}
         if cfg.deblock:
-            from tpu264.kernels.deblock import make_deblocker
+            from tpu264.kernels.deblock import make_deblocker_skewed
             from tpu264.ref.transform import chroma_qp
             for q in {cfg.qp, cfg.qp_inter}:
-                self._deblock[q] = make_deblocker(
+                self._deblock[q] = make_deblocker_skewed(
                     self.sched, q, chroma_qp(q),
                     filter_across_slices=(self.deblock_idc == 0))
         self.stats: list[FrameStats] = []
+
+        # on-device entropy path (CAVLC): serialize + pack in one jit so
+        # only packed payloads (~stream size) cross the device link
+        wm, hm = cfg.width_mbs, cfg.height_mbs
+        rows = self.sched.slice_starts.tolist()
+        n_slices = cfg.slices_per_frame
+        per_slice = (wm * hm) // n_slices
+        cap_words = per_slice * 100      # 3200 bits/MB ceiling (spec A.3.1)
+        if not self.cabac:
+            from tpu264.entropy import device_cavlc as dcav
+            self._dcav = dcav
+
+            @jax.jit
+            def _ser_i(mbd):
+                v, l = dcav.serialize_frame_j(mbd, wm, hm, rows)
+                return dcav.pack_slices_j(v, l, n_slices, cap_words)
+
+            @jax.jit
+            def _ser_p(mbd):
+                v, l, skipped = dcav.serialize_frame_p_j(mbd, wm, hm, rows)
+                w, nb = dcav.pack_slices_j(v, l, n_slices, cap_words)
+                return w, nb, skipped
+
+            self._ser_i, self._ser_p = _ser_i, _ser_p
+
+        @jax.jit
+        def _sse3(oy, ou, ov, ry, ru, rv):
+            def s(a, b):
+                d = a.astype(jnp.int32) - b.astype(jnp.int32)
+                return (d * d).sum()
+            return jnp.stack([s(oy, ry), s(ou, ru), s(ov, rv)])
+
+        self._sse3 = _sse3
+
+    def _apply_deblock_j(self, dev_out, mbd, qp: int, is_inter=None,
+                         mv=None):
+        """Device twin of `_apply_deblock`: bS inputs derived on device from
+        the raster mb dict, filtered planes stay on device."""
+        from tpu264.entropy.device_cavlc import (_compute_cbp_j,
+                                                 luma_tc_grid_j)
+        from tpu264.coding import mvpred
+        cfg = self.cfg
+        wm, hm = cfg.width_mbs, cfg.height_mbs
+        n = wm * hm
+        sel16 = mbd["sel16"].astype(bool)
+        if is_inter is None:
+            is_inter = jnp.zeros(n, dtype=bool)
+        cbp_luma, _, _ = _compute_cbp_j(
+            sel16, mbd["luma_ac"].astype(jnp.int32), mbd["chroma_dc"],
+            mbd["chroma_ac"])
+        tc = luma_tc_grid_j(mbd, cbp_luma, wm, hm)
+        intra_mb = (~is_inter).reshape(hm, wm)
+        if mv is None:
+            mv = jnp.zeros((n, 2), dtype=jnp.int32)
+        mv_grid = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
+        ref_grid = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
+        fy, fu, fv = self._deblock[qp](
+            dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
+            intra_mb, tc, mv_grid, ref_grid)
+        return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
+                fv.astype(jnp.uint8))
 
     def _apply_deblock(self, dev_out, mb, qp: int, is_inter=None, mv=None):
         """Filter the reconstructed picture for output/DPB (intra
@@ -152,33 +217,35 @@ class Encoder:
             out.extend(nalus)
             self.recons.append(recon)
             bits = sum(8 * len(b) for b in nalus)
+            if isinstance(recon[0], np.ndarray):
+                ps = (psnr(y, recon[0]), psnr(u, recon[1]),
+                      psnr(v, recon[2]))
+            else:
+                sse = np.asarray(self._sse3(self._dev_orig[0],
+                                            self._dev_orig[1],
+                                            self._dev_orig[2], *recon))
+                ps = tuple(
+                    99.99 if s == 0 else
+                    10 * np.log10(255.0 ** 2 * npx / float(s))
+                    for s, npx in zip(sse, (y.size, u.size, v.size)))
             self.stats.append(FrameStats(
-                i, "IDR" if is_idr else "P", bits,
-                psnr(y, recon[0]), psnr(u, recon[1]), psnr(v, recon[2]), dt))
+                i, "IDR" if is_idr else "P", bits, ps[0], ps[1], ps[2], dt))
         return b"".join(out)
 
     def encode_intra_frame(self, y, u, v, frame_num: int = 0,
                            idr_pic_id: int = 0):
         """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV))."""
         cfg = self.cfg
-        dev_out, ys = self._encode_frame(np.asarray(y), np.asarray(u),
-                                         np.asarray(v))
-        mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+        yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        self._dev_orig = (yd, ud, vd)
+        dev_out, ys = self._encode_frame(yd, ud, vd)
         slice_rows = self.sched.slice_starts.tolist()
-        if self.cabac:
-            from tpu264.entropy.cabac_slice import encode_frame_cabac
-            payloads, _ = encode_frame_cabac(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, cfg.qp)
-        else:
-            values, lengths = slice_writer.serialize_frame_mbs(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows)
-        nalus = []
-        rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
-        for s in range(cfg.slices_per_frame):
-            first_mb = s * rows_per_slice * cfg.width_mbs
-            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+
+        def hdr_sink(s):
             hdr = SliceHeader(
-                first_mb_in_slice=first_mb,
+                first_mb_in_slice=s * (cfg.height_mbs
+                                       // cfg.slices_per_frame)
+                * cfg.width_mbs,
                 slice_type=SLICE_I,
                 frame_num=frame_num,
                 idr_pic_id=idr_pic_id,
@@ -186,46 +253,55 @@ class Encoder:
                 disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=True,
             )
-            sink = hdr.write_rbsp_head(self.sps, self.pps)
-            if self.cabac:
+            return hdr.write_rbsp_head(self.sps, self.pps)
+
+        nalus = []
+        if self.cabac:
+            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            from tpu264.entropy.cabac_slice import encode_frame_cabac
+            payloads, _ = encode_frame_cabac(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, cfg.qp)
+            for s in range(cfg.slices_per_frame):
+                sink = hdr_sink(s)
                 sink.cabac_align()
-                rbsp = sink.to_bytes() + payloads[s]
+                nalus.append(nal.make_nalu(
+                    3, nal.NAL_IDR, sink.to_bytes() + payloads[s]))
+            if cfg.deblock:
+                recon = self._apply_deblock(dev_out, mb, cfg.qp)
             else:
-                rbsp = slice_writer.pack_slice(
-                    values[first_mb:last_mb], lengths[first_mb:last_mb],
-                    sink)
+                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            return nalus, recon
+
+        mbd = reorder_wave_outputs_j(self.sched, ys)
+        words, nbits = self._ser_i(mbd)
+        nbits_np = np.asarray(nbits)
+        for s in range(cfg.slices_per_frame):
+            nb = int(nbits_np[s])
+            wslice = np.asarray(words[s, : (nb + 31) // 32])
+            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
         if cfg.deblock:
-            recon = self._apply_deblock(dev_out, mb, cfg.qp)
+            recon = self._apply_deblock_j(dev_out, mbd, cfg.qp)
         else:
-            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            recon = (dev_out["recon_y"].astype(jnp.uint8),
+                     dev_out["recon_u"].astype(jnp.uint8),
+                     dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
 
     def encode_p_frame(self, y, u, v, ref, frame_num: int):
         """Encode one P frame against `ref` = (y, u, v) recon planes."""
         cfg = self.cfg
-        dev_out, ys = self._encode_p(np.asarray(y), np.asarray(u),
-                                     np.asarray(v), np.asarray(ref[0]),
-                                     np.asarray(ref[1]), np.asarray(ref[2]))
-        mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+        yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        self._dev_orig = (yd, ud, vd)
+        dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1], ref[2])
         slice_rows = self.sched.slice_starts.tolist()
-        if self.cabac:
-            from tpu264.entropy.cabac_slice import encode_frame_cabac
-            payloads, skipped = encode_frame_cabac(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
-                cfg.qp_inter, p_slice=True)
-        else:
-            values, lengths, skipped = slice_writer.serialize_frame_mbs_p(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows)
-        nalus = []
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
-        for s in range(cfg.slices_per_frame):
-            first_mb = s * rows_per_slice * cfg.width_mbs
-            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+
+        def hdr_sink(s):
             hdr = SliceHeader(
-                first_mb_in_slice=first_mb,
+                first_mb_in_slice=s * rows_per_slice * cfg.width_mbs,
                 slice_type=SLICE_P,
                 frame_num=frame_num,
                 slice_qp=cfg.qp_inter,
@@ -233,25 +309,53 @@ class Encoder:
                 is_idr=False,
                 nal_ref_idc=2,
             )
-            sink = hdr.write_rbsp_head(self.sps, self.pps)
-            if self.cabac:
+            return hdr.write_rbsp_head(self.sps, self.pps)
+
+        nalus = []
+        if self.cabac:
+            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            from tpu264.entropy.cabac_slice import encode_frame_cabac
+            payloads, skipped = encode_frame_cabac(
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
+                cfg.qp_inter, p_slice=True)
+            for s in range(cfg.slices_per_frame):
+                sink = hdr_sink(s)
                 sink.cabac_align()
-                rbsp = sink.to_bytes() + payloads[s]
+                nalus.append(nal.make_nalu(
+                    2, nal.NAL_SLICE, sink.to_bytes() + payloads[s]))
+            if cfg.deblock:
+                recon = self._apply_deblock(
+                    dev_out, mb, cfg.qp_inter,
+                    is_inter=mb["is_inter"].astype(bool),
+                    mv=mb["mv"].astype(np.int64))
             else:
-                tail = slice_writer.trailing_skip_run(skipped, first_mb,
-                                                      last_mb)
-                rbsp = slice_writer.pack_slice(
-                    values[first_mb:last_mb], lengths[first_mb:last_mb],
-                    sink, final_skip_run=tail)
+                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            return nalus, recon
+
+        mbd = reorder_wave_outputs_j(self.sched, ys)
+        words, nbits, skipped_d = self._ser_p(mbd)
+        nbits_np = np.asarray(nbits)
+        skipped = np.asarray(skipped_d)
+        for s in range(cfg.slices_per_frame):
+            first_mb = s * rows_per_slice * cfg.width_mbs
+            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+            tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
+            nb = int(nbits_np[s])
+            wslice = np.asarray(words[s, : (nb + 31) // 32])
+            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s),
+                                            final_skip_run=tail)
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         if cfg.deblock:
-            recon = self._apply_deblock(dev_out, mb, cfg.qp_inter,
-                                        is_inter=mb["is_inter"].astype(bool),
-                                        mv=mb["mv"].astype(np.int64))
+            recon = self._apply_deblock_j(
+                dev_out, mbd, cfg.qp_inter,
+                is_inter=mbd["is_inter"].astype(bool),
+                mv=mbd["mv"].astype(jnp.int32))
         else:
-            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            recon = (dev_out["recon_y"].astype(jnp.uint8),
+                     dev_out["recon_u"].astype(jnp.uint8),
+                     dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
 
 

@@ -341,3 +341,18 @@ def reorder_wave_outputs(sched: WaveSchedule, ys) -> dict:
         dst[flat_idx[valid]] = a[valid]
         out[k] = dst
     return out
+
+
+def reorder_wave_outputs_j(sched: WaveSchedule, ys) -> dict:
+    """Device twin of `reorder_wave_outputs`: static-index scatter, output
+    stays on device (feeds the on-device entropy serializer)."""
+    flat_idx = sched.mb_index.reshape(-1)
+    valid = sched.valid.reshape(-1)
+    src = jnp.asarray(np.flatnonzero(valid))
+    dst = jnp.asarray(flat_idx[valid])
+    out = {}
+    for k, arr in ys.items():
+        a = arr.reshape((-1,) + arr.shape[2:])
+        out[k] = jnp.zeros((sched.n_mbs,) + a.shape[1:],
+                           dtype=a.dtype).at[dst].set(a[src])
+    return out

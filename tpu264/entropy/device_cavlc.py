@@ -1,0 +1,583 @@
+"""On-device CAVLC serialization + bit packing (JAX).
+
+The host entropy path (`slice_writer` + `bits.bitwriter.pack_bits`) costs
+seconds per 1080p frame and forces a ~24 MB device->host transfer of raw
+coefficient grids.  This module runs the same computation on the TPU —
+per-block token/length computation is embarrassingly parallel (SURVEY.md
+§2a #5), and packing is a prefix-sum plus scatter-add — so only the packed
+slice payloads (~stream size) cross the link.
+
+Every function mirrors its numpy twin bit-for-bit (`slice_writer.
+serialize_frame_mbs*`, `cavlc.encode_blocks`, `bitwriter.pack_bits`);
+tests assert equality on random frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu264.coding.wavefront import BLK_ORDER, WaveSchedule
+from tpu264.coding import mvpred
+from . import cavlc_tables as tbl
+from . import mb_syntax
+from .cavlc import SLOTS_PER_BLOCK
+from .slice_writer import HDR_SLOTS, HDR_SLOTS_P, MB_SLOTS, MB_SLOTS_P
+
+# ---------------------------------------------------------------- tables
+# populated eagerly at import: creating constants lazily inside a jit
+# trace leaks tracers into the cache
+_J = {
+    name: jnp.asarray(np.asarray(arr, dtype=np.int32))
+    for name, arr in {
+        "ctb": tbl.COEFF_TOKEN_BITS, "ctl": tbl.COEFF_TOKEN_LEN,
+        "cctb": tbl.CDC_COEFF_TOKEN_BITS, "cctl": tbl.CDC_COEFF_TOKEN_LEN,
+        "ctzb": tbl.CDC_TOTAL_ZEROS_BITS, "ctzl": tbl.CDC_TOTAL_ZEROS_LEN,
+        "tzb": tbl.TOTAL_ZEROS_BITS, "tzl": tbl.TOTAL_ZEROS_LEN,
+        "rbb": tbl.RUN_BEFORE_BITS, "rbl": tbl.RUN_BEFORE_LEN,
+        "cbpi": mb_syntax.CBP_TO_CODENUM_INTRA,
+        "cbpp": mb_syntax.CBP_TO_CODENUM_INTER,
+    }.items()
+}
+
+
+def _jt(name, arr=None):
+    return _J[name]
+
+
+def ue_code_j(v):
+    """ue(v) → (code uint32, nbits int32); v < 2^31 - 1."""
+    vp1 = (v + 1).astype(jnp.uint32)
+    nh = 31 - jax.lax.clz(vp1).astype(jnp.int32)
+    return vp1, 2 * nh + 1
+
+
+def se_to_ue_j(v):
+    return jnp.where(v > 0, 2 * v - 1, -2 * v)
+
+
+def _encode_level_j(lc, sl):
+    """Fused level prefix+suffix (mirror of cavlc._encode_level)."""
+    c0_short = lc < 14
+    code0 = jnp.where(c0_short, 1, 0)
+    len0 = jnp.where(c0_short, lc + 1, 0)
+    c0_esc14 = (lc >= 14) & (lc < 30)
+    code0 = jnp.where(c0_esc14, (1 << 4) | (lc - 14), code0)
+    len0 = jnp.where(c0_esc14, 15 + 4, len0)
+    c0_esc15 = lc >= 30
+    code0 = jnp.where(c0_esc15, (1 << 12) | (lc - 30), code0)
+    len0 = jnp.where(c0_esc15, 16 + 12, len0)
+
+    sl1 = jnp.maximum(sl, 1)
+    prefix = lc >> sl1
+    suffix = lc & ((1 << sl1) - 1)
+    cs_short = prefix < 15
+    code1 = jnp.where(cs_short, (1 << sl1) | suffix, 0)
+    len1 = jnp.where(cs_short, prefix + 1 + sl1, 0)
+    cs_esc = prefix >= 15
+    esc_val = lc - (15 << sl1)
+    code1 = jnp.where(cs_esc, (1 << 12) | esc_val, code1)
+    len1 = jnp.where(cs_esc, 16 + 12, len1)
+
+    code = jnp.where(sl == 0, code0, code1)
+    ln = jnp.where(sl == 0, len0, len1)
+    return code, ln
+
+
+def encode_blocks_j(scanned, nc, max_coeff: int):
+    """jnp mirror of cavlc.encode_blocks.
+
+    scanned [N, mc] int32 scan-order levels; nc [N] int32 (-1 = chroma DC).
+    Returns (values [N,36] int32, lengths [N,36] int32).
+    """
+    scanned = scanned.astype(jnp.int32)
+    n, mc = scanned.shape
+    assert mc == max_coeff
+    nc = jnp.broadcast_to(nc.astype(jnp.int32), (n,))
+
+    nz = scanned != 0
+    total_coeff = nz.sum(axis=1).astype(jnp.int32)
+    # k-th nonzero from the end via suffix-rank one-hot (argsort is slow
+    # on TPU): rev_rank[i] = #nonzeros at positions >= i, so the k-th
+    # reverse-order nonzero is the unique i with nz[i] & rev_rank[i]==k+1.
+    nzi = nz.astype(jnp.int32)
+    rev_rank = jnp.cumsum(nzi[:, ::-1], axis=1)[:, ::-1]       # [N, mc]
+    kk = jnp.arange(mc, dtype=jnp.int32)[None, :, None]        # [1, mc(k), 1]
+    onehot = nzi[:, None, :] * (rev_rank[:, None, :] == 1 + kk).astype(
+        jnp.int32)                                             # [N, k, i]
+    idx = jnp.arange(mc, dtype=jnp.int32)[None, None, :]
+    lev = (onehot * scanned[:, None, :]).sum(axis=2)           # [N, mc]
+    lev_idx = (onehot * idx).sum(axis=2) - (
+        1 - onehot.sum(axis=2))                                # -1 padding
+    karange = jnp.arange(mc, dtype=jnp.int32)[None, :]
+    valid = karange < total_coeff[:, None]
+    lev = jnp.where(valid, lev, 0)
+
+    is_one = (jnp.abs(lev) == 1) & valid
+    run1 = jnp.cumprod(is_one[:, :3].astype(jnp.int32), axis=1)
+    t1 = run1.sum(axis=1).astype(jnp.int32)
+
+    vals = [None] * SLOTS_PER_BLOCK
+    lens = [None] * SLOTS_PER_BLOCK
+    zero = jnp.zeros(n, dtype=jnp.int32)
+
+    # coeff_token
+    ct_idx = 4 * total_coeff + t1
+    tsel = jnp.where(nc < 2, 0, jnp.where(nc < 4, 1, jnp.where(nc < 8, 2, 3)))
+    is_cdc = nc == -1
+    tsel0 = jnp.where(is_cdc, 0, tsel)
+    reg_bits = _jt("ctb", tbl.COEFF_TOKEN_BITS)[tsel0, ct_idx]
+    reg_len = _jt("ctl", tbl.COEFF_TOKEN_LEN)[tsel0, ct_idx]
+    cdc_bits = _jt("cctb", tbl.CDC_COEFF_TOKEN_BITS)[jnp.minimum(ct_idx, 19)]
+    cdc_len = _jt("cctl", tbl.CDC_COEFF_TOKEN_LEN)[jnp.minimum(ct_idx, 19)]
+    vals[0] = jnp.where(is_cdc, cdc_bits, reg_bits)
+    lens[0] = jnp.where(is_cdc, cdc_len, reg_len)
+
+    # trailing one signs
+    for k in range(3):
+        on = k < t1
+        vals[1 + k] = jnp.where(on, (lev[:, k] < 0).astype(jnp.int32), 0)
+        lens[1 + k] = jnp.where(on, 1, 0)
+
+    # levels
+    sl = jnp.where((total_coeff > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    first_coded = t1
+    for k in range(16):
+        if k >= mc:
+            vals[4 + k] = zero
+            lens[4 + k] = zero
+            continue
+        on = (k >= t1) & (k < total_coeff)
+        v = lev[:, k]
+        absv = jnp.abs(v)
+        level_code = jnp.where(v > 0, 2 * absv - 2, 2 * absv - 1)
+        level_code = jnp.where(on & (k == first_coded) & (t1 < 3),
+                               level_code - 2, level_code)
+        code, ln = _encode_level_j(level_code, sl)
+        vals[4 + k] = jnp.where(on, code, 0)
+        lens[4 + k] = jnp.where(on, ln, 0)
+        sl_new = jnp.where(sl == 0, 1, sl)
+        sl_new = jnp.where(
+            (absv > (3 << jnp.maximum(sl_new - 1, 0))) & (sl_new < 6),
+            sl_new + 1, sl_new)
+        sl = jnp.where(on, sl_new, sl)
+
+    # total_zeros
+    highest = lev_idx[:, 0]
+    total_zeros = jnp.where(total_coeff > 0, highest + 1 - total_coeff, 0)
+    tz_on = (total_coeff > 0) & (total_coeff < max_coeff)
+    tz_row = jnp.clip(total_coeff - 1, 0, 15)
+    tz_col = jnp.clip(total_zeros, 0, 15)
+    if max_coeff == 4:
+        r3 = jnp.clip(tz_row, 0, 2)
+        c3 = jnp.clip(tz_col, 0, 3)
+        tzb = _jt("ctzb", tbl.CDC_TOTAL_ZEROS_BITS)[r3, c3]
+        tzl = _jt("ctzl", tbl.CDC_TOTAL_ZEROS_LEN)[r3, c3]
+    else:
+        tzb = _jt("tzb", tbl.TOTAL_ZEROS_BITS)[tz_row, tz_col]
+        tzl = _jt("tzl", tbl.TOTAL_ZEROS_LEN)[tz_row, tz_col]
+    vals[20] = jnp.where(tz_on, tzb, 0)
+    lens[20] = jnp.where(tz_on, tzl, 0)
+
+    # run_before
+    zeros_left = total_zeros
+    for k in range(15):
+        if k + 1 >= mc:
+            vals[21 + k] = zero
+            lens[21 + k] = zero
+            continue
+        on = (k < total_coeff - 1) & (zeros_left > 0)
+        run = jnp.where(on, lev_idx[:, k] - lev_idx[:, k + 1] - 1, 0)
+        row = jnp.clip(jnp.minimum(zeros_left, 7) - 1, 0, 6)
+        rb = _jt("rbb", tbl.RUN_BEFORE_BITS)[row, jnp.clip(run, 0, 15)]
+        rl = _jt("rbl", tbl.RUN_BEFORE_LEN)[row, jnp.clip(run, 0, 15)]
+        vals[21 + k] = jnp.where(on, rb, 0)
+        lens[21 + k] = jnp.where(on, rl, 0)
+        zeros_left = zeros_left - run
+    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1)
+
+
+# ----------------------------------------------------- neighbor-grid ports
+
+def luma_tc_grid_j(mb, cbp_luma, wm: int, hm: int):
+    """[h4, w4] per-4x4 TotalCoeff grid (mirror of mb_syntax.luma_tc_grid);
+    also feeds deblock bS derivation on device."""
+    n = wm * hm
+    mb_r = jnp.arange(n, dtype=jnp.int32) // wm
+    mb_c = jnp.arange(n, dtype=jnp.int32) % wm
+    luma_ac = mb["luma_ac"].astype(jnp.int32)
+    tc = (luma_ac != 0).sum(axis=2).astype(jnp.int32)
+    coded8 = ((cbp_luma[:, None] >> jnp.arange(4)[None, :]) & 1) > 0
+    coded = jnp.repeat(coded8, 4, axis=1)
+    tc = jnp.where(coded, tc, 0)
+    lgrid = jnp.zeros((hm * 4, wm * 4), dtype=jnp.int32)
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        lgrid = lgrid.at[mb_r * 4 + by, mb_c * 4 + bx].set(tc[:, idx])
+    return lgrid
+
+
+def _tc_grids_j(mb, sel16, cbp_luma, cbp_chroma, wm: int, hm: int,
+                slice_rows):
+    """luma/chroma nC grids (mirror of mb_syntax.luma_tc_grid /
+    chroma_tc_grid / nc_from_grid)."""
+    n = wm * hm
+    mb_r = jnp.arange(n, dtype=jnp.int32) // wm
+    mb_c = jnp.arange(n, dtype=jnp.int32) % wm
+    lgrid = luma_tc_grid_j(mb, cbp_luma, wm, hm)
+    lnc = _nc_from_grid_j(lgrid, [r * 4 for r in slice_rows])
+
+    cnc = []
+    for comp in range(2):
+        ctc = (mb["chroma_ac"][:, comp] != 0).sum(axis=2).astype(jnp.int32)
+        ctc = jnp.where((cbp_chroma == 2)[:, None], ctc, 0)
+        cgrid = jnp.zeros((hm * 2, wm * 2), dtype=jnp.int32)
+        for idx in range(4):
+            by, bx = idx // 2, idx % 2
+            cgrid = cgrid.at[mb_r * 2 + by, mb_c * 2 + bx].set(ctc[:, idx])
+        cnc.append(_nc_from_grid_j(cgrid, [r * 2 for r in slice_rows]))
+    return lnc, cnc
+
+
+def _nc_from_grid_j(tc_grid, slice_start_rows):
+    gh, gw = tc_grid.shape
+    na = jnp.zeros_like(tc_grid).at[:, 1:].set(tc_grid[:, :-1])
+    nb = jnp.zeros_like(tc_grid).at[1:, :].set(tc_grid[:-1, :])
+    avail_a = np.zeros((gh, gw), dtype=bool)
+    avail_a[:, 1:] = True
+    avail_b = np.zeros((gh, gw), dtype=bool)
+    avail_b[1:, :] = True
+    for r in slice_start_rows:
+        avail_b[r, :] = False
+    avail_a = jnp.asarray(avail_a)
+    avail_b = jnp.asarray(avail_b)
+    return jnp.where(avail_a & avail_b, (na + nb + 1) >> 1,
+                     jnp.where(avail_a, na, jnp.where(avail_b, nb, 0)))
+
+
+def _mpm_grid_j(modes_grid, slice_start_rows4):
+    gh, gw = modes_grid.shape
+    unavail = -2
+    left = jnp.full((gh, gw), unavail, jnp.int32).at[:, 1:].set(
+        modes_grid[:, :-1])
+    top = jnp.full((gh, gw), unavail, jnp.int32).at[1:, :].set(
+        modes_grid[:-1, :])
+    mask = np.zeros((gh, 1), dtype=bool)
+    for r in slice_start_rows4:
+        mask[r] = True
+    top = jnp.where(jnp.asarray(mask), unavail, top)
+    a = jnp.where(left == -1, 2, left)
+    b = jnp.where(top == -1, 2, top)
+    return jnp.where((a < 0) | (b < 0), 2, jnp.minimum(a, b))
+
+
+def _compute_cbp_j(sel16, luma_ac, chroma_dc, chroma_ac):
+    nz_blk = (luma_ac != 0).any(axis=2)
+    nz8 = nz_blk.reshape(-1, 4, 4).any(axis=2)
+    cbp_luma = (nz8.astype(jnp.int32) << jnp.arange(4)[None, :]).sum(axis=1)
+    cbp_luma = jnp.where(sel16 & (cbp_luma > 0), 15, cbp_luma)
+    any_dc = (chroma_dc != 0).any(axis=(1, 2))
+    any_ac = (chroma_ac != 0).any(axis=(1, 2, 3))
+    cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
+    return cbp_luma, cbp_chroma, cbp_luma | (cbp_chroma << 4)
+
+
+# ------------------------------------------------------------ frame grids
+
+def _residual_slots_j(vals, lens, hdr_slots, mb, sel16, cbp_luma, cbp_chroma,
+                      wm, hm, slice_rows):
+    n = wm * hm
+    mb_r = jnp.arange(n, dtype=jnp.int32) // wm
+    mb_c = jnp.arange(n, dtype=jnp.int32) % wm
+    luma_ac = mb["luma_ac"].astype(jnp.int32)
+    lnc, cnc = _tc_grids_j(mb, sel16, cbp_luma, cbp_chroma, wm, hm,
+                           slice_rows)
+
+    def put(slot, v, l, coded):
+        s0 = hdr_slots + slot * SLOTS_PER_BLOCK
+        for i in range(SLOTS_PER_BLOCK):
+            vals[s0 + i] = jnp.where(coded, v[:, i], 0)
+            lens[s0 + i] = jnp.where(coded, l[:, i], 0)
+
+    # batch all same-shape blocks into single encode_blocks_j calls (27
+    # separate calls blow up compile time at 1080p)
+    luma_nc = jnp.stack(
+        [lnc[mb_r * 4 + by, mb_c * 4 + bx] for by, bx in BLK_ORDER], axis=0)
+
+    # 16-coeff group: I16 DC + the 16 luma blocks (non-I16 variant)
+    g16_in = jnp.concatenate(
+        [mb["luma_dc"].astype(jnp.int32)[None],
+         luma_ac.transpose(1, 0, 2)], axis=0)          # [17, n, 16]
+    g16_nc = jnp.concatenate([lnc[mb_r * 4, mb_c * 4][None], luma_nc],
+                             axis=0)
+    v16, l16 = encode_blocks_j(g16_in.reshape(17 * n, 16),
+                               g16_nc.reshape(17 * n), 16)
+    v16 = v16.reshape(17, n, SLOTS_PER_BLOCK)
+    l16 = l16.reshape(17, n, SLOTS_PER_BLOCK)
+
+    # 15-coeff group: 16 luma AC (I16 variant) + 8 chroma AC blocks
+    cac = mb["chroma_ac"].astype(jnp.int32)
+    g15_in = jnp.concatenate(
+        [luma_ac[:, :, 1:].transpose(1, 0, 2),
+         cac[..., 1:].reshape(n, 8, 15).transpose(1, 0, 2)], axis=0)
+    c_nc = jnp.stack(
+        [cnc[comp][mb_r * 2 + idx // 2, mb_c * 2 + idx % 2]
+         for comp in range(2) for idx in range(4)], axis=0)
+    g15_nc = jnp.concatenate([luma_nc, c_nc], axis=0)
+    v15, l15 = encode_blocks_j(g15_in.reshape(24 * n, 15),
+                               g15_nc.reshape(24 * n), 15)
+    v15 = v15.reshape(24, n, SLOTS_PER_BLOCK)
+    l15 = l15.reshape(24, n, SLOTS_PER_BLOCK)
+
+    # chroma DC group
+    vcd, lcd = encode_blocks_j(
+        mb["chroma_dc"].astype(jnp.int32).transpose(1, 0, 2).reshape(
+            2 * n, 4),
+        jnp.full((2 * n,), -1, jnp.int32), 4)
+    vcd = vcd.reshape(2, n, SLOTS_PER_BLOCK)
+    lcd = lcd.reshape(2, n, SLOTS_PER_BLOCK)
+
+    put(0, v16[0], l16[0], sel16)
+    s16 = sel16[:, None]
+    for idx in range(16):
+        coded8 = ((cbp_luma >> (idx // 4)) & 1) > 0
+        put(1 + idx, jnp.where(s16, v15[idx], v16[1 + idx]),
+            jnp.where(s16, l15[idx], l16[1 + idx]), coded8)
+    for comp in range(2):
+        put(17 + comp, vcd[comp], lcd[comp], cbp_chroma >= 1)
+    for comp in range(2):
+        for idx in range(4):
+            put(19 + comp * 4 + idx, v15[16 + comp * 4 + idx],
+                l15[16 + comp * 4 + idx], cbp_chroma == 2)
+
+
+def _i4_mode_slots_j(vals, lens, slot0, mb, is_i4, wm, hm, slice_rows):
+    n = wm * hm
+    mb_r = jnp.arange(n, dtype=jnp.int32) // wm
+    mb_c = jnp.arange(n, dtype=jnp.int32) % wm
+    modes = mb["modes"].astype(jnp.int32)
+    modes_grid = jnp.full((hm * 4, wm * 4), -1, jnp.int32)
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        modes_grid = modes_grid.at[mb_r * 4 + by, mb_c * 4 + bx].set(
+            jnp.where(is_i4, modes[:, idx], -1))
+    mpm = _mpm_grid_j(modes_grid, [r * 4 for r in slice_rows])
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        m = modes[:, idx]
+        p = mpm[mb_r * 4 + by, mb_c * 4 + bx]
+        is_mpm = m == p
+        rem = m - (m > p)
+        vals[slot0 + idx] = jnp.where(is_mpm, 1, rem)
+        lens[slot0 + idx] = jnp.where(is_i4, jnp.where(is_mpm, 1, 4), 0)
+
+
+def serialize_frame_j(mb, wm: int, hm: int, slice_rows):
+    """I-frame grids (mirror of slice_writer.serialize_frame_mbs).
+
+    Returns (values [n, MB_SLOTS] int32, lengths [n, MB_SLOTS] int32).
+    """
+    n = wm * hm
+    sel16 = mb["sel16"].astype(bool)
+    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS
+    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS
+    luma_ac = mb["luma_ac"].astype(jnp.int32)
+    cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
+        sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
+
+    mbt = jnp.where(sel16,
+                    1 + mb["i16mode"].astype(jnp.int32) + 4 * cbp_chroma
+                    + 12 * (cbp_luma > 0), 0)
+    vals[0], lens[0] = ue_code_j(mbt)
+    vals[0] = vals[0].astype(jnp.int32)
+
+    _i4_mode_slots_j(vals, lens, 1, mb, ~sel16, wm, hm, slice_rows)
+
+    c, l = ue_code_j(mb["cmode"].astype(jnp.int32))
+    vals[17], lens[17] = c.astype(jnp.int32), l
+
+    cbp_code, cbp_len = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
+    vals[18] = jnp.where(~sel16, cbp_code.astype(jnp.int32), 0)
+    lens[18] = jnp.where(~sel16, cbp_len, 0)
+
+    has_delta = sel16 | (cbp > 0)
+    vals[19] = jnp.where(has_delta, 1, 0)      # ue(se_to_ue(0)) = '1'
+    lens[19] = jnp.where(has_delta, 1, 0)
+
+    _residual_slots_j(vals, lens, HDR_SLOTS, mb, sel16, cbp_luma, cbp_chroma,
+                      wm, hm, slice_rows)
+    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1)
+
+
+def _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows):
+    """Shifted-array port of mvpred.neighbor_mvs_np."""
+    UN = mvpred.UNAVAIL
+    mv_a = jnp.zeros((hm, wm, 2), jnp.int32).at[:, 1:].set(mv_map[:, :-1])
+    ref_a = jnp.full((hm, wm), UN, jnp.int32).at[:, 1:].set(ref_map[:, :-1])
+    mv_b = jnp.zeros((hm, wm, 2), jnp.int32).at[1:, :].set(mv_map[:-1, :])
+    ref_b = jnp.full((hm, wm), UN, jnp.int32).at[1:, :].set(ref_map[:-1, :])
+    # C = top-right with D (top-left) substitution at the last column
+    mv_c = jnp.zeros((hm, wm, 2), jnp.int32).at[1:, :-1].set(
+        mv_map[:-1, 1:])
+    ref_c = jnp.full((hm, wm), UN, jnp.int32).at[1:, :-1].set(
+        ref_map[:-1, 1:])
+    if wm > 1:
+        mv_c = mv_c.at[1:, wm - 1].set(mv_map[:-1, wm - 2])
+        ref_c = ref_c.at[1:, wm - 1].set(ref_map[:-1, wm - 2])
+    # slice starts: top row neighbors unavailable
+    mask = np.zeros((hm, 1), dtype=bool)
+    for r in slice_rows:
+        mask[int(r)] = True
+    maskj = jnp.asarray(mask)
+    ref_b = jnp.where(maskj, UN, ref_b)
+    ref_c = jnp.where(maskj, UN, ref_c)
+    mv_b = jnp.where(maskj[..., None], 0, mv_b)
+    mv_c = jnp.where(maskj[..., None], 0, mv_c)
+    n = wm * hm
+    return {k: v.reshape((n,) + v.shape[2:]) for k, v in
+            dict(mv_a=mv_a, ref_a=ref_a, mv_b=mv_b, ref_b=ref_b,
+                 mv_c=mv_c, ref_c=ref_c).items()}
+
+
+def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
+    """P-frame grids (mirror of slice_writer.serialize_frame_mbs_p).
+
+    Returns (values, lengths, skipped [n] bool).
+    """
+    n = wm * hm
+    is_inter = mb["is_inter"].astype(bool)
+    sel16 = mb["sel16"].astype(bool) & ~is_inter
+    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_P
+    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_P
+    luma_ac = mb["luma_ac"].astype(jnp.int32)
+    cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
+        sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
+
+    mv = mb["mv"].astype(jnp.int32)
+    mv_map = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
+    ref_map = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm).astype(jnp.int32)
+    nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
+    mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"], nb["mv_b"],
+                                    nb["ref_b"], nb["mv_c"], nb["ref_c"])
+    mvd = mv - mv_pred
+
+    mv_skip = mb["mv_skip"].astype(jnp.int32)
+    skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
+
+    # mb_skip_run per coded MB: distance to previous coded MB in the slice
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slice_first = np.zeros(n, dtype=np.int32)
+    rows = [int(r) for r in slice_rows] + [hm]
+    for s in range(len(rows) - 1):
+        slice_first[rows[s] * wm: rows[s + 1] * wm] = rows[s] * wm
+    slice_first = jnp.asarray(slice_first)
+    coded = ~skipped
+    coded_pos = jnp.where(coded, pos, -1)
+    prev_coded = jax.lax.associative_scan(jnp.maximum, coded_pos)
+    prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                 prev_coded[:-1]])
+    prev_excl = jnp.maximum(prev_excl, slice_first - 1)
+    skip_run = pos - prev_excl - 1
+    src, srl = ue_code_j(skip_run)
+    vals[0] = jnp.where(coded, src.astype(jnp.int32), 0)
+    lens[0] = jnp.where(coded, srl, 0)
+
+    mbt_intra = 5 + jnp.where(sel16,
+                              1 + mb["i16mode"].astype(jnp.int32)
+                              + 4 * cbp_chroma + 12 * (cbp_luma > 0), 0)
+    mbt = jnp.where(is_inter, 0, mbt_intra)
+    tc_, tl_ = ue_code_j(mbt)
+    vals[1] = jnp.where(coded, tc_.astype(jnp.int32), 0)
+    lens[1] = jnp.where(coded, tl_, 0)
+
+    is_i4 = coded & ~is_inter & ~sel16
+    _i4_mode_slots_j(vals, lens, 2, mb, is_i4, wm, hm, slice_rows)
+
+    cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
+    intra_coded = coded & ~is_inter
+    vals[18] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
+    lens[18] = jnp.where(intra_coded, cml, 0)
+
+    inter_coded = coded & is_inter
+    for k, comp in ((19, 1), (20, 0)):
+        code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
+        vals[k] = jnp.where(inter_coded, code.astype(jnp.int32), 0)
+        lens[k] = jnp.where(inter_coded, ln, 0)
+
+    ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
+    cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
+    vals[21] = jnp.where(inter_coded, cp.astype(jnp.int32),
+                         jnp.where(is_i4, ci.astype(jnp.int32), 0))
+    lens[21] = jnp.where(inter_coded, lp_, jnp.where(is_i4, li_, 0))
+
+    has_delta = coded & (sel16 | (cbp > 0))
+    vals[22] = jnp.where(has_delta, 1, 0)
+    lens[22] = jnp.where(has_delta, 1, 0)
+
+    _residual_slots_j(vals, lens, HDR_SLOTS_P, mb, sel16, cbp_luma,
+                      cbp_chroma, wm, hm, slice_rows)
+    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1), skipped
+
+
+# ---------------------------------------------------------------- packing
+
+def pack_slices_j(values, lengths, n_slices: int, cap_words: int):
+    """Pack per-slice element grids into 32-bit word streams on device.
+
+    values/lengths: [n_mbs, slots] int32 (codes < 2^31, lengths <= 31).
+    The n_mbs axis is split into `n_slices` equal segments; each packs
+    from bit 0 of its own word buffer.
+
+    Returns (words [n_slices, cap_words] uint32 big-endian bit order,
+             nbits [n_slices] int32).
+    """
+    n, slots = values.shape
+    per = n // n_slices
+    v = values.reshape(n_slices, per * slots).astype(jnp.uint32)
+    l = lengths.reshape(n_slices, per * slots)
+    starts = jnp.cumsum(l, axis=1) - l
+    nbits = starts[:, -1] + l[:, -1]
+    off = starts & 31
+    w = starts >> 5
+    # MSB-first split across two words in pure 32-bit arithmetic (uint64
+    # is unavailable without x64): word w takes the code's top
+    # `take = min(len, 32-off)` bits, word w+1 the remaining `len-take`.
+    take = jnp.minimum(l, 32 - off)
+    rem = l - take                                       # bits in word w+1
+    hi = ((v >> rem.astype(jnp.uint32))
+          << jnp.minimum(32 - off - take, 31).astype(jnp.uint32))
+    lo_mask = jnp.where(rem > 0, (jnp.uint32(1) << jnp.minimum(
+        rem, 31).astype(jnp.uint32)) - jnp.uint32(1), jnp.uint32(0))
+    lo = (v & lo_mask) << jnp.where(rem > 0, 32 - rem, 0).astype(jnp.uint32)
+    hi = jnp.where(l > 0, hi, 0)
+    lo = jnp.where(rem > 0, lo, 0)
+    words = jnp.zeros((n_slices, cap_words), dtype=jnp.uint32)
+    sl_idx = jnp.broadcast_to(jnp.arange(n_slices)[:, None], w.shape)
+    # disjoint bit ranges -> add == or
+    words = words.at[sl_idx, w].add(hi, mode="drop")
+    words = words.at[sl_idx, w + 1].add(lo, mode="drop")
+    return words, nbits
+
+
+def words_to_rbsp(words: np.ndarray, nbits: int, header_sink,
+                  final_skip_run: int | None = None) -> bytes:
+    """Merge host-written slice-header bits with a device-packed body.
+
+    `header_sink` is the BitSink holding the slice header; the body
+    (words/nbits) is appended at the current bit position, an optional
+    trailing mb_skip_run is emitted, then rbsp_trailing_bits closes the
+    RBSP (mirror of slice_writer.pack_slice).
+    """
+    words = np.asarray(words, dtype=np.uint32)
+    body = words.astype(">u4").view(np.uint8)[: (int(nbits) + 7) // 8]
+    # feed the body as 8-bit codes (cheap: ~bytes of the stream)
+    nfull = int(nbits) // 8
+    vals = body[:nfull].astype(np.uint64)
+    lens = np.full(nfull, 8, dtype=np.int64)
+    header_sink.put_array(vals, lens)
+    rem = int(nbits) - nfull * 8
+    if rem:
+        header_sink.put(int(body[nfull]) >> (8 - rem), rem)
+    if final_skip_run is not None and final_skip_run > 0:
+        from tpu264.bits.expgolomb import write_ue
+        write_ue(header_sink, final_skip_run)
+    header_sink.rbsp_trailing_bits()
+    return header_sink.to_bytes()

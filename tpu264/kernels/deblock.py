@@ -113,6 +113,163 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref):
     return bs_v, bs_h
 
 
+def make_deblocker_skewed(sched: WaveSchedule, qp: int, cqp: int,
+                          filter_across_slices: bool = True):
+    """Skewed-wavefront picture deblocker (bit-exact with `ref.deblock`).
+
+    MB (r, c) is stored at skewed MB column c' = c + 2r, so every 2:1
+    anti-diagonal wave becomes one contiguous column strip: a wave step is
+    three dynamic slices + vectorized edge filters over all MB rows at
+    once, instead of per-MB vmapped gathers/scatters.  Neighbor windows
+    stay local in skew space (left -> c'-1, top/top-right -> band above at
+    c'-2).  fn(y, u, v, intra_mb, tc_luma, mv, ref) -> filtered planes.
+    """
+    wm, hm = sched.width_mbs, sched.height_mbs
+    h, w = hm * 16, wm * 16
+    n_waves = wm + 2 * (hm - 1)
+    OF = 3          # left pad in MBs (c'-2 strip reads at c'=0 reach -36px)
+    skw = OF + n_waves + 1
+    ia = int(np.clip(qp, 0, 51))
+    alpha, beta = int(rd.ALPHA_TABLE[ia]), int(rd.BETA_TABLE[ia])
+    tc0_row = jnp.asarray(rd.TC0_TABLE[ia], jnp.int32)
+    ca = int(np.clip(cqp, 0, 51))
+    calpha, cbeta = int(rd.ALPHA_TABLE[ca]), int(rd.BETA_TABLE[ca])
+    ctc0_row = jnp.asarray(rd.TC0_TABLE[ca], jnp.int32)
+
+    # rows whose top MB edge is never filtered (picture / slice boundary)
+    zero_top_rows = {0}
+    if not filter_across_slices:
+        zero_top_rows |= {int(r) for r in sched.slice_starts.tolist() if r}
+
+    bands = np.arange(hm)
+
+    def _skew_cols(mb_px: int):
+        """Per-pixel-row source-column map: skewed col of true col x in
+        band b is x + (OF + 2b)*mb_px."""
+        rows = np.repeat(np.arange(hm), mb_px)
+        cols = (np.arange(wm * mb_px)[None, :]
+                + (OF + 2 * rows)[:, None] * mb_px)
+        return jnp.asarray(cols)                      # [hm*mb_px, wm*mb_px]
+
+    _SKC = {16: _skew_cols(16), 8: _skew_cols(8), 4: _skew_cols(4)}
+
+    def _skew(plane, mb_px: int):
+        """[hm*mb_px, wm*mb_px] -> [hm*mb_px, skw*mb_px] skewed layout."""
+        out = jnp.zeros((hm * mb_px, skw * mb_px), plane.dtype)
+        rr = jnp.arange(hm * mb_px)[:, None]
+        return out.at[rr, _SKC[mb_px]].set(plane)
+
+    def _unskew(buf, mb_px: int):
+        rr = jnp.arange(hm * mb_px)[:, None]
+        return buf[rr, _SKC[mb_px]]
+
+    def _edges_v(win, bs, flt, alpha, beta, tc0r, mb_px, n_edges, estep):
+        # win [hm, mb_px(+pad rows), W]; edges at local cols pad + estep*k
+        pad = estep
+        for k in range(n_edges):
+            b = bs[:, :, k]
+            b_lines = jnp.repeat(b, mb_px // 4, axis=1)
+            e = pad + estep * k
+            seg = win[:, -mb_px:, e - estep:e + estep]
+            fil = flt(seg, b_lines, alpha, beta, tc0r)
+            win = win.at[:, -mb_px:, e - estep:e + estep].set(fil)
+        return win
+
+    @jax.jit
+    def deblock(y, u, v, intra_mb, tc_luma, mv, ref):
+        bs_v, bs_h = compute_bs_maps(intra_mb.astype(bool),
+                                     tc_luma.astype(jnp.int32),
+                                     mv.astype(jnp.int32),
+                                     ref.astype(jnp.int32))
+        for r in zero_top_rows:
+            bs_h = bs_h.at[r * 4, :].set(0)
+        yb = _skew(y.astype(jnp.int32), 16)
+        ub = _skew(u.astype(jnp.int32), 8)
+        vb = _skew(v.astype(jnp.int32), 8)
+        bvs = _skew(bs_v, 4)
+        bhs = _skew(bs_h, 4)
+
+        def step(carry, cp):
+            yb, ub, vb = carry
+            base = (OF + cp) * 16
+            base2 = (OF + cp - 2) * 16
+
+            BV = jax.lax.dynamic_slice(
+                bvs, (0, (OF + cp) * 4), (hm * 4, 4)).reshape(hm, 4, 4)
+            BH = jax.lax.dynamic_slice(
+                bhs, (0, (OF + cp) * 4), (hm * 4, 4)).reshape(hm, 4, 4)
+
+            # ---- luma ----
+            M = jax.lax.dynamic_slice(
+                yb, (0, base - 4), (hm * 16, 20)).reshape(hm, 16, 20)
+            A = jax.lax.dynamic_slice(
+                yb, (0, base2 - 4), (hm * 16, 20)).reshape(hm, 16, 20)
+            top4 = jnp.concatenate(
+                [jnp.zeros((1, 4, 20), jnp.int32), A[:-1, 12:16]], axis=0)
+            win = jnp.concatenate([top4, M], axis=1)       # [hm, 20, 20]
+            win = _edges_v(win, BV, filter_luma_lines, alpha, beta,
+                           tc0_row, 16, 4, 4)
+            # horizontal: transpose lines<->cols inside the window
+            winT = win.transpose(0, 2, 1)                  # [hm, 20, 20]
+            for k in range(4):
+                b_lines = jnp.repeat(BH[:, k, :], 4, axis=1)
+                e = 4 + 4 * k
+                seg = winT[:, 4:20, e - 4:e + 4]
+                fil = filter_luma_lines(seg, b_lines, alpha, beta, tc0_row)
+                winT = winT.at[:, 4:20, e - 4:e + 4].set(fil)
+            win = winT.transpose(0, 2, 1)
+            yb = jax.lax.dynamic_update_slice(
+                yb, win[:, 4:20].reshape(hm * 16, 20), (0, base - 4))
+            A_upd = A.at[:-1, 12:16].set(win[1:, 0:4])
+            yb = jax.lax.dynamic_update_slice(
+                yb, A_upd.reshape(hm * 16, 20), (0, base2 - 4))
+
+            # ---- chroma ----
+            cb = (OF + cp) * 8
+            cb2 = (OF + cp - 2) * 8
+            for plane_i, pb in enumerate((ub, vb)):
+                Mc = jax.lax.dynamic_slice(
+                    pb, (0, cb - 4), (hm * 8, 12)).reshape(hm, 8, 12)
+                Ac = jax.lax.dynamic_slice(
+                    pb, (0, cb2 - 4), (hm * 8, 12)).reshape(hm, 8, 12)
+                top2 = jnp.concatenate(
+                    [jnp.zeros((1, 2, 12), jnp.int32), Ac[:-1, 6:8]], axis=0)
+                cwin = jnp.concatenate([top2, Mc], axis=1)  # [hm, 10, 12]
+                # vertical chroma edges at local cols 4 (MB) and 8 (internal)
+                for k in (0, 2):
+                    b_lines = jnp.repeat(BV[:, :, k], 2, axis=1)
+                    e = 4 + 2 * k
+                    seg = cwin[:, 2:10, e - 2:e + 2]
+                    fil = filter_chroma_lines(seg, b_lines, calpha, cbeta,
+                                              ctc0_row)
+                    cwin = cwin.at[:, 2:10, e - 2:e + 2].set(fil)
+                cwinT = cwin.transpose(0, 2, 1)            # [hm, 12, 10]
+                for k in (0, 2):
+                    b_lines = jnp.repeat(BH[:, k, :], 2, axis=1)
+                    e = 2 + 2 * k
+                    seg = cwinT[:, 4:12, e - 2:e + 2]
+                    fil = filter_chroma_lines(seg, b_lines, calpha, cbeta,
+                                              ctc0_row)
+                    cwinT = cwinT.at[:, 4:12, e - 2:e + 2].set(fil)
+                cwin = cwinT.transpose(0, 2, 1)
+                pb = jax.lax.dynamic_update_slice(
+                    pb, cwin[:, 2:10].reshape(hm * 8, 12), (0, cb - 4))
+                Ac_upd = Ac.at[:-1, 6:8].set(cwin[1:, 0:2])
+                pb = jax.lax.dynamic_update_slice(
+                    pb, Ac_upd.reshape(hm * 8, 12), (0, cb2 - 4))
+                if plane_i == 0:
+                    ub = pb
+                else:
+                    vb = pb
+            return (yb, ub, vb), None
+
+        (yb, ub, vb), _ = jax.lax.scan(
+            step, (yb, ub, vb), jnp.arange(n_waves, dtype=jnp.int32))
+        return _unskew(yb, 16), _unskew(ub, 8), _unskew(vb, 8)
+
+    return deblock
+
+
 def make_deblocker(sched: WaveSchedule, qp: int, cqp: int,
                    filter_across_slices: bool = True):
     """Jitted picture deblocker for fixed geometry/QP.
