@@ -80,23 +80,28 @@ class Encoder:
             pic_init_qp=26,
             deblocking_filter_control_present_flag=1,
         )
-        self._encode_frame = make_intra_encoder(self.sched, cfg.qp)
+        self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
         if gop_mode == "ippp":
             self._encode_p = make_inter_encoder(
-                self.sched, cfg.qp_inter, search_range=cfg.search_range)
+                self.sched, search_range=cfg.search_range)
         # in-loop deblocking: idc 0 (on) single-slice, idc 2 (slice-local)
         # multi-slice, idc 1 (off) when disabled
         self.deblock_idc = (1 if not cfg.deblock
                             else (0 if cfg.slices_per_frame == 1 else 2))
-        self._deblock = {}
+        self._deblock = None
         if cfg.deblock:
             from tpu264.kernels.deblock import make_deblocker_skewed
-            from tpu264.ref.transform import chroma_qp
-            for q in {cfg.qp, cfg.qp_inter}:
-                self._deblock[q] = make_deblocker_skewed(
-                    self.sched, q, chroma_qp(q),
-                    filter_across_slices=(self.deblock_idc == 0))
+            self._deblock = make_deblocker_skewed(
+                self.sched,
+                filter_across_slices=(self.deblock_idc == 0))
+        # rate control (JVT-G012 quadratic model, host-side)
+        self.rc = None
+        if cfg.rate_control and cfg.bitrate > 0:
+            from tpu264.runtime.ratectl import RateController
+            self.rc = RateController(
+                bitrate=cfg.bitrate, frame_rate=cfg.frame_rate,
+                n_mbs=cfg.width_mbs * cfg.height_mbs, init_qp=cfg.qp)
         self.stats: list[FrameStats] = []
 
         # on-device entropy path (CAVLC): serialize + pack in one jit so
@@ -128,7 +133,9 @@ class Encoder:
             def s(a, b):
                 d = a.astype(jnp.int32) - b.astype(jnp.int32)
                 return (d * d).sum()
-            return jnp.stack([s(oy, ry), s(ou, ru), s(ov, rv)])
+            dy = oy.astype(jnp.int32) - ry.astype(jnp.int32)
+            return jnp.stack([s(oy, ry), s(ou, ru), s(ov, rv),
+                              jnp.abs(dy).sum()])
 
         self._sse3 = _sse3
 
@@ -154,9 +161,11 @@ class Encoder:
             mv = jnp.zeros((n, 2), dtype=jnp.int32)
         mv_grid = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
         ref_grid = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
-        fy, fu, fv = self._deblock[qp](
+        from tpu264.ref.transform import chroma_qp
+        fy, fu, fv = self._deblock(
             dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
-            intra_mb, tc, mv_grid, ref_grid)
+            intra_mb, tc, mv_grid, ref_grid, np.int32(qp),
+            np.int32(chroma_qp(qp)))
         return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                 fv.astype(jnp.uint8))
 
@@ -184,10 +193,11 @@ class Encoder:
             cfg.height_mbs, cfg.width_mbs, 2)
         ref_grid = np.where(is_inter, 0, mvpred.INTRA).reshape(
             cfg.height_mbs, cfg.width_mbs)
-        fy, fu, fv = self._deblock[qp](
+        from tpu264.ref.transform import chroma_qp
+        fy, fu, fv = self._deblock(
             dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
             jnp.asarray(intra_mb), jnp.asarray(tc), jnp.asarray(mv_grid),
-            jnp.asarray(ref_grid))
+            jnp.asarray(ref_grid), np.int32(qp), np.int32(chroma_qp(qp)))
         return (np.asarray(fy, dtype=np.uint8),
                 np.asarray(fu, dtype=np.uint8),
                 np.asarray(fv, dtype=np.uint8))
@@ -204,41 +214,54 @@ class Encoder:
             period = self.cfg.intra_period
             is_idr = (self.gop_mode == "intra" or i == 0
                       or (period > 1 and i % period == 0))
+            qp = None
+            if self.rc is not None:
+                qp = self.rc.frame_qp("I" if is_idr else "P")
             if is_idr:
                 nalus, recon = self.encode_intra_frame(
-                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2)
+                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2, qp=qp)
                 idr_count += 1
                 frame_num = 1
             else:
                 nalus, recon = self.encode_p_frame(
-                    y, u, v, self.recons[-1], frame_num=frame_num)
+                    y, u, v, self.recons[-1], frame_num=frame_num, qp=qp)
                 frame_num = (frame_num + 1) % (1 << self.sps.log2_max_frame_num)
             dt = time.monotonic() - t0
             out.extend(nalus)
             self.recons.append(recon)
             bits = sum(8 * len(b) for b in nalus)
+            mad = None
             if isinstance(recon[0], np.ndarray):
                 ps = (psnr(y, recon[0]), psnr(u, recon[1]),
                       psnr(v, recon[2]))
+                if self.rc is not None:
+                    mad = float(np.abs(y.astype(np.int32)
+                                       - recon[0].astype(np.int32)).mean())
             else:
-                sse = np.asarray(self._sse3(self._dev_orig[0],
-                                            self._dev_orig[1],
-                                            self._dev_orig[2], *recon))
+                st = np.asarray(self._sse3(self._dev_orig[0],
+                                           self._dev_orig[1],
+                                           self._dev_orig[2], *recon))
                 ps = tuple(
                     99.99 if s == 0 else
                     10 * np.log10(255.0 ** 2 * npx / float(s))
-                    for s, npx in zip(sse, (y.size, u.size, v.size)))
+                    for s, npx in zip(st[:3], (y.size, u.size, v.size)))
+                mad = float(st[3]) / y.size
+            if self.rc is not None:
+                self.rc.update("I" if is_idr else "P", bits,
+                               mad if mad is not None else 1.0)
             self.stats.append(FrameStats(
                 i, "IDR" if is_idr else "P", bits, ps[0], ps[1], ps[2], dt))
         return b"".join(out)
 
     def encode_intra_frame(self, y, u, v, frame_num: int = 0,
-                           idr_pic_id: int = 0):
+                           idr_pic_id: int = 0, qp: int | None = None):
         """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV))."""
         cfg = self.cfg
+        if qp is None:
+            qp = cfg.qp
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
-        dev_out, ys = self._encode_frame(yd, ud, vd)
+        dev_out, ys = self._encode_frame(yd, ud, vd, np.int32(qp))
         slice_rows = self.sched.slice_starts.tolist()
 
         def hdr_sink(s):
@@ -249,7 +272,7 @@ class Encoder:
                 slice_type=SLICE_I,
                 frame_num=frame_num,
                 idr_pic_id=idr_pic_id,
-                slice_qp=cfg.qp,
+                slice_qp=qp,
                 disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=True,
             )
@@ -260,14 +283,14 @@ class Encoder:
             mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
             from tpu264.entropy.cabac_slice import encode_frame_cabac
             payloads, _ = encode_frame_cabac(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, cfg.qp)
+                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, qp)
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
                 sink.cabac_align()
                 nalus.append(nal.make_nalu(
                     3, nal.NAL_IDR, sink.to_bytes() + payloads[s]))
             if cfg.deblock:
-                recon = self._apply_deblock(dev_out, mb, cfg.qp)
+                recon = self._apply_deblock(dev_out, mb, qp)
             else:
                 recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
                          np.asarray(dev_out["recon_u"], dtype=np.uint8),
@@ -283,19 +306,23 @@ class Encoder:
             rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
         if cfg.deblock:
-            recon = self._apply_deblock_j(dev_out, mbd, cfg.qp)
+            recon = self._apply_deblock_j(dev_out, mbd, qp)
         else:
             recon = (dev_out["recon_y"].astype(jnp.uint8),
                      dev_out["recon_u"].astype(jnp.uint8),
                      dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
 
-    def encode_p_frame(self, y, u, v, ref, frame_num: int):
+    def encode_p_frame(self, y, u, v, ref, frame_num: int,
+                       qp: int | None = None):
         """Encode one P frame against `ref` = (y, u, v) recon planes."""
         cfg = self.cfg
+        if qp is None:
+            qp = cfg.qp_inter
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
-        dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1], ref[2])
+        dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1], ref[2],
+                                     np.int32(qp))
         slice_rows = self.sched.slice_starts.tolist()
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
 
@@ -304,7 +331,7 @@ class Encoder:
                 first_mb_in_slice=s * rows_per_slice * cfg.width_mbs,
                 slice_type=SLICE_P,
                 frame_num=frame_num,
-                slice_qp=cfg.qp_inter,
+                slice_qp=qp,
                 disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=False,
                 nal_ref_idc=2,
@@ -317,7 +344,7 @@ class Encoder:
             from tpu264.entropy.cabac_slice import encode_frame_cabac
             payloads, skipped = encode_frame_cabac(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
-                cfg.qp_inter, p_slice=True)
+                qp, p_slice=True)
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
                 sink.cabac_align()
@@ -325,7 +352,7 @@ class Encoder:
                     2, nal.NAL_SLICE, sink.to_bytes() + payloads[s]))
             if cfg.deblock:
                 recon = self._apply_deblock(
-                    dev_out, mb, cfg.qp_inter,
+                    dev_out, mb, qp,
                     is_inter=mb["is_inter"].astype(bool),
                     mv=mb["mv"].astype(np.int64))
             else:
@@ -349,7 +376,7 @@ class Encoder:
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         if cfg.deblock:
             recon = self._apply_deblock_j(
-                dev_out, mbd, cfg.qp_inter,
+                dev_out, mbd, qp,
                 is_inter=mbd["is_inter"].astype(bool),
                 mv=mbd["mv"].astype(jnp.int32))
         else:

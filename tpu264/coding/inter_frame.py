@@ -24,10 +24,10 @@ from tpu264.kernels import me as kme
 from tpu264.kernels import transform as kt
 from tpu264.ref.transform import chroma_qp
 from . import mvpred
-from .intra_frame import (BIG, ZZ_COLS, ZZ_ROWS, _gather_tile, _scatter_tile,
-                          eval_chroma, eval_i16, eval_i4x4,
+from .intra_frame import (BIG, CQP_J, ZZ_COLS, ZZ_ROWS, _gather_tile,
+                          _scatter_tile, eval_chroma, eval_i16, eval_i4x4,
                           chroma_residual_recon, gather_wave_ctx,
-                          init_frame_buffers, lambda_mode)
+                          init_frame_buffers, lambda_mode, lambda_terms_j)
 from .wavefront import WaveSchedule
 
 PAD = 24  # ref padding: search range + subpel taps margin
@@ -40,16 +40,14 @@ def mvd_bits(mvd):
             .astype(jnp.int32) + 1).sum(axis=-1)
 
 
-def make_inter_encoder(sched: WaveSchedule, qp: int,
+def make_inter_encoder(sched: WaveSchedule,
                        chroma_qp_offset: int = 0, search_range: int = 16):
-    """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v)."""
+    """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
+
+    qp is a traced scalar (rate control varies it per frame)."""
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
-    cqp = chroma_qp(qp, chroma_qp_offset)
-    lam = lambda_mode(qp)
-    lam4 = int(round(4 * lam))
-    lam24 = int(round(24 * lam))
-    lam_me = max(1, int(round(lam)))
+    cqp_off = chroma_qp_offset
     # clamp search so windows stay inside the padded plane
     rng = min(search_range, PAD - 8)
 
@@ -59,7 +57,8 @@ def make_inter_encoder(sched: WaveSchedule, qp: int,
         avail=jnp.asarray(sched.avail),
     )
 
-    def wave_body(planes, cu_pad, cv_pad, carry, x):
+    def wave_body(planes, cu_pad, cv_pad, qp, cqp, lam4, lam24, lam_me,
+                  carry, x):
         (recon_y, recon_u, recon_v, modes_map, mv_map, ref_map,
          orig_y, orig_u, orig_v) = carry
         coords = x["coords"]
@@ -193,10 +192,13 @@ def make_inter_encoder(sched: WaveSchedule, qp: int,
                 orig_y, orig_u, orig_v), ys
 
     @jax.jit
-    def encode(y, u, v, ref_y, ref_u, ref_v):
+    def encode(y, u, v, ref_y, ref_u, ref_v, qp):
         y = y.astype(jnp.int32)
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
+        qp = jnp.asarray(qp, jnp.int32)
+        cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
+        lam4, lam24, lam_me = lambda_terms_j(qp)
         ref_pad = kint.pad_plane(ref_y.astype(jnp.int32), PAD)
         planes = kint.luma_planes(ref_pad)
         cu_pad = kint.pad_plane(ref_u.astype(jnp.int32), PAD // 2)
@@ -215,7 +217,8 @@ def make_inter_encoder(sched: WaveSchedule, qp: int,
                  y, u, v)
         xs_full = dict(xs, mv_me=mv_wave)
         carry, ys = jax.lax.scan(
-            lambda cr, xx: wave_body(planes, cu_pad, cv_pad, cr, xx),
+            lambda cr, xx: wave_body(planes, cu_pad, cv_pad, qp, cqp,
+                                     lam4, lam24, lam_me, cr, xx),
             carry, xs_full)
         recon_y, recon_u, recon_v = carry[0], carry[1], carry[2]
         out = dict(

@@ -256,22 +256,35 @@ def init_frame_buffers(hm: int, wm: int):
     return recon_y, recon_u, recon_v, modes_map
 
 
-def make_intra_encoder(sched: WaveSchedule, qp: int,
-                       chroma_qp_offset: int = 0):
-    """Build a jitted all-intra frame encoder for a fixed geometry/QP."""
+CQP_J = jnp.asarray(
+    np.array([chroma_qp(q) for q in range(52)]), jnp.int32)
+
+
+def lambda_terms_j(qp):
+    """Traced (lam4, lam24, lam_me) from a traced/int QP scalar."""
+    lam = 0.85 * 2.0 ** ((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0)
+    lam4 = jnp.round(4 * lam).astype(jnp.int32)
+    lam24 = jnp.round(24 * lam).astype(jnp.int32)
+    lam_me = jnp.maximum(1, jnp.round(lam)).astype(jnp.int32)
+    return lam4, lam24, lam_me
+
+
+def make_intra_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0):
+    """Build a jitted all-intra frame encoder for a fixed geometry.
+
+    fn(y, u, v, qp) — qp is a traced scalar so rate control can vary it
+    per frame without recompiling.
+    """
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
-    cqp = chroma_qp(qp, chroma_qp_offset)
-    lam = lambda_mode(qp)
-    lam4 = int(round(4 * lam))
-    lam24 = int(round(24 * lam))
+    cqp_off = chroma_qp_offset
     xs = dict(
         coords=jnp.asarray(sched.coords),
         valid=jnp.asarray(sched.valid),
         avail=jnp.asarray(sched.avail),
     )
 
-    def wave_body(carry, x):
+    def wave_body(qp, cqp, lam4, lam24, carry, x):
         recon_y, recon_u, recon_v, modes_map, orig_y, orig_u, orig_v = carry
         coords = x["coords"]
         r, c = coords[:, 0], coords[:, 1]
@@ -310,14 +323,19 @@ def make_intra_encoder(sched: WaveSchedule, qp: int,
                 orig_y, orig_u, orig_v), ys
 
     @jax.jit
-    def encode(y, u, v):
+    def encode(y, u, v, qp):
         """y: [H,W] uint8/int32, u/v: [H/2, W/2]. Returns (recon, per-wave ys)."""
         y = y.astype(jnp.int32)
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
+        qp = jnp.asarray(qp, jnp.int32)
+        cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
+        lam4, lam24, _ = lambda_terms_j(qp)
         recon_y, recon_u, recon_v, modes_map = init_frame_buffers(hm, wm)
         carry = (recon_y, recon_u, recon_v, modes_map, y, u, v)
-        carry, ys = jax.lax.scan(wave_body, carry, xs)
+        carry, ys = jax.lax.scan(
+            lambda cr, xx: wave_body(qp, cqp, lam4, lam24, cr, xx),
+            carry, xs)
         recon_y, recon_u, recon_v = carry[0], carry[1], carry[2]
         out = dict(
             recon_y=recon_y[1:1 + h, 1:1 + w],

@@ -113,7 +113,7 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref):
     return bs_v, bs_h
 
 
-def make_deblocker_skewed(sched: WaveSchedule, qp: int, cqp: int,
+def make_deblocker_skewed(sched: WaveSchedule, qp=None, cqp=None,
                           filter_across_slices: bool = True):
     """Skewed-wavefront picture deblocker (bit-exact with `ref.deblock`).
 
@@ -129,12 +129,6 @@ def make_deblocker_skewed(sched: WaveSchedule, qp: int, cqp: int,
     n_waves = wm + 2 * (hm - 1)
     OF = 3          # left pad in MBs (c'-2 strip reads at c'=0 reach -36px)
     skw = OF + n_waves + 1
-    ia = int(np.clip(qp, 0, 51))
-    alpha, beta = int(rd.ALPHA_TABLE[ia]), int(rd.BETA_TABLE[ia])
-    tc0_row = jnp.asarray(rd.TC0_TABLE[ia], jnp.int32)
-    ca = int(np.clip(cqp, 0, 51))
-    calpha, cbeta = int(rd.ALPHA_TABLE[ca]), int(rd.BETA_TABLE[ca])
-    ctc0_row = jnp.asarray(rd.TC0_TABLE[ca], jnp.int32)
 
     # rows whose top MB edge is never filtered (picture / slice boundary)
     zero_top_rows = {0}
@@ -176,7 +170,13 @@ def make_deblocker_skewed(sched: WaveSchedule, qp: int, cqp: int,
         return win
 
     @jax.jit
-    def deblock(y, u, v, intra_mb, tc_luma, mv, ref):
+    def deblock(y, u, v, intra_mb, tc_luma, mv, ref, qp_t, cqp_t):
+        qi = jnp.clip(jnp.asarray(qp_t, jnp.int32), 0, 51)
+        ci = jnp.clip(jnp.asarray(cqp_t, jnp.int32), 0, 51)
+        alpha, beta = ALPHA[qi], BETA[qi]
+        tc0_row = TC0[qi]
+        calpha, cbeta = ALPHA[ci], BETA[ci]
+        ctc0_row = TC0[ci]
         bs_v, bs_h = compute_bs_maps(intra_mb.astype(bool),
                                      tc_luma.astype(jnp.int32),
                                      mv.astype(jnp.int32),
@@ -267,7 +267,11 @@ def make_deblocker_skewed(sched: WaveSchedule, qp: int, cqp: int,
             step, (yb, ub, vb), jnp.arange(n_waves, dtype=jnp.int32))
         return _unskew(yb, 16), _unskew(ub, 8), _unskew(vb, 8)
 
-    return deblock
+    if qp is None:
+        return deblock
+    # fixed-QP convenience wrapper (legacy signature)
+    return lambda y, u, v, intra_mb, tc_luma, mv, ref: deblock(
+        y, u, v, intra_mb, tc_luma, mv, ref, qp, cqp)
 
 
 def make_deblocker(sched: WaveSchedule, qp: int, cqp: int,

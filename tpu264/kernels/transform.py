@@ -23,6 +23,14 @@ MF00 = jnp.asarray(ref._MF_CLASS[:, 0], dtype=jnp.int32)  # [6]
 V00 = jnp.asarray(ref._V_CLASS[:, 0], dtype=jnp.int32)    # [6]
 ZIGZAG_4x4 = jnp.asarray(ref.ZIGZAG_4x4, dtype=jnp.int32)
 
+# per-QP level-limit tables so qp can be a traced scalar (rate control
+# varies QP per frame without recompiling)
+LIMIT_AC = jnp.asarray(np.stack([ref.level_limit_ac(q) for q in range(52)]),
+                       jnp.int32)                         # [52,4,4]
+LIMIT_DC = jnp.asarray([ref.level_limit_dc(q) for q in range(52)], jnp.int32)
+LIMIT_CDC = jnp.asarray([ref.level_limit_cdc(q) for q in range(52)],
+                        jnp.int32)
+
 
 def _mm(a, m_left, m_right):
     """a @ m_right with m_left @ first: computes m_left @ a @ m_right over
@@ -35,17 +43,19 @@ def fdct4x4(x):
     return _mm(x.astype(jnp.int32), CF, CF.T)
 
 
-def quant4x4(w, qp: int, intra: bool):
+def quant4x4(w, qp, intra: bool):
+    """qp may be a python int or a traced int32 scalar."""
     qbits = 15 + qp // 6
     mf = MF_TABLE[qp % 6]
-    f = (1 << qbits) // (3 if intra else 6)
+    f = ((1 << qbits) if isinstance(qp, int) else (1 << qbits).astype(
+        jnp.int32)) // (3 if intra else 6)
     lev = (jnp.abs(w) * mf + f) >> qbits
     # spec 8.5.12 int16 range constraint on dequantized coefficients
-    lev = jnp.minimum(lev, jnp.asarray(ref.level_limit_ac(qp), jnp.int32))
+    lev = jnp.minimum(lev, LIMIT_AC[qp])
     return jnp.sign(w) * lev
 
 
-def dequant4x4(c, qp: int):
+def dequant4x4(c, qp):
     return (c * V_TABLE[qp % 6]) << (qp // 6)
 
 
@@ -67,7 +77,7 @@ def idct4x4(d):
     return (h + 32) >> 6
 
 
-def block_recon(coeff, qp: int, dc=None):
+def block_recon(coeff, qp, dc=None):
     """Dequant + IDCT; optional external DC override at position (0,0)."""
     d = dequant4x4(coeff, qp)
     if dc is not None:
@@ -75,36 +85,41 @@ def block_recon(coeff, qp: int, dc=None):
     return idct4x4(d)
 
 
-def hadamard4x4_fwd_quant_dc(wdc, qp: int, intra: bool = True):
+def hadamard4x4_fwd_quant_dc(wdc, qp, intra: bool = True):
     m = _mm(wdc.astype(jnp.int32), H4, H4)
     qbits = 15 + qp // 6
     f = (1 << qbits) // (3 if intra else 6)
     lev = ((jnp.abs(m) >> 1) * MF00[qp % 6] + 2 * f) >> (qbits + 1)
-    lev = jnp.minimum(lev, ref.level_limit_dc(qp))
+    lev = jnp.minimum(lev, LIMIT_DC[qp])
     return jnp.sign(m) * lev
 
 
-def hadamard4x4_inv_dequant_dc(c, qp: int):
+def hadamard4x4_inv_dequant_dc(c, qp):
     f = _mm(c.astype(jnp.int32), H4, H4)
     q6 = qp // 6
-    ls = 16 * int(ref._V_CLASS[qp % 6, 0])
-    if qp >= 36:
-        return (f * ls) << (q6 - 6)
-    return (f * ls + (1 << (5 - q6))) >> (6 - q6)
+    ls = 16 * V00[qp % 6]
+    if isinstance(qp, int):
+        if qp >= 36:
+            return (f * ls) << (q6 - 6)
+        return (f * ls + (1 << (5 - q6))) >> (6 - q6)
+    hi = (f * ls) << jnp.maximum(q6 - 6, 0)
+    lo = (f * ls + (1 << jnp.maximum(5 - q6, 0))) >> jnp.maximum(6 - q6, 0)
+    return jnp.where(qp >= 36, hi, lo)
 
 
-def hadamard2x2_fwd_quant_dc(wdc, qp: int, intra: bool):
+def hadamard2x2_fwd_quant_dc(wdc, qp, intra: bool):
     m = _mm(wdc.astype(jnp.int32), H2, H2)
     qbits = 15 + qp // 6
-    f = (1 << qbits) // (3 if intra else 6)
+    f = ((1 << qbits) if isinstance(qp, int) else (1 << qbits).astype(
+        jnp.int32)) // (3 if intra else 6)
     lev = (jnp.abs(m) * MF00[qp % 6] + 2 * f) >> (qbits + 1)
-    lev = jnp.minimum(lev, ref.level_limit_cdc(qp))
+    lev = jnp.minimum(lev, LIMIT_CDC[qp])
     return jnp.sign(m) * lev
 
 
-def hadamard2x2_inv_dequant_dc(c, qp: int):
+def hadamard2x2_inv_dequant_dc(c, qp):
     f = _mm(c.astype(jnp.int32), H2, H2)
-    ls = 16 * int(ref._V_CLASS[qp % 6, 0])
+    ls = 16 * V00[qp % 6]
     return ((f * ls) << (qp // 6)) >> 5
 
 

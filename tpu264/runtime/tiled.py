@@ -38,7 +38,7 @@ def make_tiled_intra_encoder(width: int, height: int, qp: int, mesh: Mesh,
     assert height % (16 * n_tiles) == 0, "tile bands must be whole MB rows"
     band_h = height // n_tiles
     band_sched = build_schedule(width // 16, band_h // 16, 1)
-    band_encode = make_intra_encoder(band_sched, qp)
+    band_encode = make_intra_encoder(band_sched)
 
     in_spec = (P(gop_axis, tile_axis, None),) * 3
     out_spec = (
@@ -54,7 +54,7 @@ def make_tiled_intra_encoder(width: int, height: int, qp: int, mesh: Mesh,
         # local shapes: [g_local, band_h, W]
         def one(args):
             yy, uu, vv = args
-            out, ys = band_encode(yy, uu, vv)
+            out, ys = band_encode(yy, uu, vv, qp)
             return out, ys
         out, ys = jax.lax.map(one, (y, u, v))
         # rate-control stat per frame: nonzero levels, psum'd over tiles
