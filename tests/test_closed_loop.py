@@ -46,7 +46,8 @@ def test_modes_respect_availability(encoded):
     from tpu264.coding.wavefront import BLK_ORDER
     cfg, enc, frames, stream = encoded
     y, u, v = frames[0]
-    _, ys = enc._encode_frame(np.asarray(y), np.asarray(u), np.asarray(v))
+    _, ys = enc._encode_frame(np.asarray(y), np.asarray(u), np.asarray(v),
+                              np.int32(cfg.qp))
     mb = reorder_wave_outputs(enc.sched, jax_to_np(ys))
     wm = cfg.width_mbs
     needs = {0: (1, 0, 0), 1: (0, 1, 0), 2: (0, 0, 0), 3: (1, 0, 0),

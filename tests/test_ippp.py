@@ -105,7 +105,8 @@ def test_motion_content_uses_inter():
     enc = Encoder(cfg)
     stream = enc.encode_sequence(frames)
     _, ys = enc._encode_p(*[np.asarray(p) for p in frames[1]],
-                          *[np.asarray(p) for p in enc.recons[0]])
+                          *[np.asarray(p) for p in enc.recons[0]],
+                          np.int32(cfg.qp_inter))
     mb = reorder_wave_outputs(enc.sched, jax_to_np(ys))
     assert mb["is_inter"].mean() > 0.8
     inter_mvs = mb["mv"][mb["is_inter"].astype(bool)]
