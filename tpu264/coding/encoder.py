@@ -6,6 +6,8 @@ entropy serialization, Annex-B assembly, per-frame stats logging.
 from __future__ import annotations
 
 import dataclasses
+import itertools
+import os
 import time
 
 import numpy as np
@@ -44,12 +46,13 @@ def psnr(orig: np.ndarray, recon: np.ndarray) -> float:
 
 
 class Encoder:
-    """CAVLC encoder: all-intra or IPPP GOPs (BASELINE.json configs 1-2).
+    """H.264 encoder: all-intra or IPPP GOPs, CAVLC or CABAC, optional
+    in-loop deblocking and JVT-G012 rate control (BASELINE.json configs
+    1-3).
 
     `gop_mode`: "intra" = every frame IDR; "ippp" = first frame IDR, rest
     P (JM IntraPeriod semantics: cfg.intra_period > 0 inserts periodic
-    IDR frames).  B slices, CABAC and deblocking are later stages
-    (SURVEY.md §7 build plan).
+    IDR frames).
     """
 
     def __init__(self, cfg: EncoderConfig, gop_mode: str | None = None):
@@ -240,10 +243,13 @@ class Encoder:
                nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
         self.recons = []
         fn = self._get_intra_batch_fn(batch, qp)
-        slice_rows = self.sched.slice_starts.tolist()
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
-        for c0 in range(0, len(frames), batch):
-            chunk = frames[c0:c0 + batch]
+        it = iter(frames)
+        c0 = 0
+        while True:
+            chunk = list(itertools.islice(it, batch))
+            if not chunk:
+                break
             t0 = time.monotonic()
             pad = batch - len(chunk)
             ys = np.stack([np.asarray(f[0]) for f in chunk]
@@ -253,8 +259,9 @@ class Encoder:
             vs = np.stack([np.asarray(f[2]) for f in chunk]
                           + [np.asarray(chunk[-1][2])] * pad)
             words, nbits, ry, ru, rv, sse = fn(ys, us, vs)
-            nbits_np = np.asarray(nbits)
+            nbits_np = np.asarray(nbits)   # syncs the device
             sse_np = np.asarray(sse)
+            per_frame_s = (time.monotonic() - t0) / len(chunk)
             for b in range(len(chunk)):
                 i = c0 + b
                 nalus = []
@@ -283,18 +290,26 @@ class Encoder:
                     10 * np.log10(255.0 ** 2 * n / float(sv))
                     for sv, n in zip(sse_np[b, :3], npx))
                 self.stats.append(FrameStats(
-                    i, "IDR", bits, ps[0], ps[1], ps[2],
-                    (time.monotonic() - t0) / len(chunk)))
+                    i, "IDR", bits, ps[0], ps[1], ps[2], per_frame_s))
+            c0 += len(chunk)
         return b"".join(out)
 
     def encode_sequence(self, frames) -> bytes:
         """frames: iterable of (y, u, v) uint8 planes. Returns Annex-B."""
-        frames = list(frames)
-        import os
-        batch = int(os.environ.get("TPU264_BATCH", "4"))
+        try:
+            batch = max(1, int(os.environ.get("TPU264_BATCH", "4")))
+        except ValueError:
+            batch = 4
         if (self.gop_mode == "intra" and self.rc is None
-                and not self.cabac and batch > 1 and len(frames) > 1):
-            return self._encode_sequence_intra_batched(frames, batch)
+                and not self.cabac and batch > 1):
+            # batched path: consume the iterable in batch-sized chunks
+            # (frames stay streamed; nothing is materialized up front)
+            it = iter(frames)
+            head = list(itertools.islice(it, 2))
+            if len(head) > 1:
+                return self._encode_sequence_intra_batched(
+                    itertools.chain(head, it), batch)
+            frames = head
         out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
                nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
         self.recons = []

@@ -25,9 +25,10 @@ from tpu264.kernels import transform as kt
 from tpu264.ref.transform import chroma_qp
 from . import mvpred
 from .intra_frame import (BIG, CQP_J, ZZ_COLS, ZZ_ROWS, _gather_tile,
-                          _scatter_tile, eval_chroma, eval_i16, eval_i4x4,
-                          chroma_residual_recon, gather_wave_ctx,
-                          init_frame_buffers, lambda_mode, lambda_terms_j)
+                          assemble_plane, eval_chroma, eval_i16, eval_i4x4,
+                          chroma_residual_recon, gather_border_ctx,
+                          init_border_buffers, lambda_mode, lambda_terms_j,
+                          tile_origin_xs, update_border_ctx)
 from .wavefront import WaveSchedule
 
 PAD = 24  # ref padding: search range + subpel taps margin
@@ -59,16 +60,15 @@ def make_inter_encoder(sched: WaveSchedule,
 
     def wave_body(planes, cu_pad, cv_pad, qp, cqp, lam4, lam24, lam_me,
                   carry, x):
-        (recon_y, recon_u, recon_v, modes_map, mv_map, ref_map,
-         orig_y, orig_u, orig_v) = carry
+        bd, mv_map, ref_map = carry
         coords = x["coords"]
         r, c = coords[:, 0], coords[:, 1]
         at, al, atl, atr = (x["avail"][:, i] for i in range(4))
         mv_me = x["mv_me"]                        # [B,2] qpel
         b = r.shape[0]
-        (gy, gu, gv, ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
-         modes_top, modes_left) = gather_wave_ctx(
-            recon_y, recon_u, recon_v, modes_map, orig_y, orig_u, orig_v, r, c)
+        gy, gu, gv = x["gy"], x["gu"], x["gv"]
+        (ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
+         modes_top, modes_left) = gather_border_ctx(bd, r, c)
 
         # ---- neighbor MVs from the maps (padded: +1 row/col, +1 right) ----
         def gmv(rr, cc):
@@ -170,13 +170,10 @@ def make_inter_encoder(sched: WaveSchedule,
             ac = jnp.where(is_inter[:, None, None], p_ac, i_ac)
             chroma.append((rec, dc, ac))
 
-        # ---- scatter state ----
-        r16, c16, r8, c8, r4, c4 = r * 16, c * 16, r * 8, c * 8, r * 4, c * 4
-        recon_y = _scatter_tile(recon_y, recon_mb, r16 + 1, c16 + 1, 16, 16)
-        recon_u = _scatter_tile(recon_u, chroma[0][0], r8 + 1, c8 + 1, 8, 8)
-        recon_v = _scatter_tile(recon_v, chroma[1][0], r8 + 1, c8 + 1, 8, 8)
+        # ---- write back border state ----
         mode_tiles = jnp.where((is_inter | sel16)[:, None, None], -1, modebuf)
-        modes_map = _scatter_tile(modes_map, mode_tiles, r4 + 1, c4 + 1, 4, 4)
+        bd = update_border_ctx(bd, r, c, recon_mb, chroma[0][0],
+                               chroma[1][0], mode_tiles)
         mv_tiles = jnp.where(is_inter[:, None], mv_sel, 0)
         mv_map = mv_map.at[r + 1, c + 1].set(mv_tiles, mode="drop")
         ref_map = ref_map.at[r + 1, c + 1].set(
@@ -187,9 +184,9 @@ def make_inter_encoder(sched: WaveSchedule,
                   sel16=is_i16, i16mode=m16, modes=modes_zz, cmode=cmode,
                   luma_ac=luma_ac, luma_dc=luma_dc,
                   chroma_dc=jnp.stack([chroma[0][1], chroma[1][1]], axis=1),
-                  chroma_ac=jnp.stack([chroma[0][2], chroma[1][2]], axis=1))
-        return (recon_y, recon_u, recon_v, modes_map, mv_map, ref_map,
-                orig_y, orig_u, orig_v), ys
+                  chroma_ac=jnp.stack([chroma[0][2], chroma[1][2]], axis=1),
+                  recon_mb=recon_mb, rec_u=chroma[0][0], rec_v=chroma[1][0])
+        return (bd, mv_map, ref_map), ys
 
     @jax.jit
     def encode(y, u, v, ref_y, ref_u, ref_v, qp):
@@ -210,21 +207,19 @@ def make_inter_encoder(sched: WaveSchedule,
         # rearrange per wave: [n_waves, Bmax, 2]
         mv_wave = mv_q[jnp.asarray(np.minimum(sched.mb_index, sched.n_mbs - 1))]
 
-        recon_y, recon_u, recon_v, modes_map = init_frame_buffers(hm, wm)
+        bd = init_border_buffers(hm, wm)
         mv_map = jnp.zeros((1 + hm, 1 + wm + 1, 2), jnp.int32)
         ref_map = jnp.full((1 + hm, 1 + wm + 1), mvpred.UNAVAIL, jnp.int32)
-        carry = (recon_y, recon_u, recon_v, modes_map, mv_map, ref_map,
-                 y, u, v)
-        xs_full = dict(xs, mv_me=mv_wave)
+        gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
+        xs_full = dict(xs, mv_me=mv_wave, gy=gy_all, gu=gu_all, gv=gv_all)
         carry, ys = jax.lax.scan(
             lambda cr, xx: wave_body(planes, cu_pad, cv_pad, qp, cqp,
                                      lam4, lam24, lam_me, cr, xx),
-            carry, xs_full)
-        recon_y, recon_u, recon_v = carry[0], carry[1], carry[2]
+            (bd, mv_map, ref_map), xs_full)
         out = dict(
-            recon_y=recon_y[1:1 + h, 1:1 + w],
-            recon_u=recon_u[1:1 + h // 2, 1:1 + w // 2],
-            recon_v=recon_v[1:1 + h // 2, 1:1 + w // 2],
+            recon_y=assemble_plane(sched, ys.pop("recon_mb"), 16),
+            recon_u=assemble_plane(sched, ys.pop("rec_u"), 8),
+            recon_v=assemble_plane(sched, ys.pop("rec_v"), 8),
         )
         return out, ys
 

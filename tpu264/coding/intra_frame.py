@@ -225,35 +225,103 @@ def chroma_residual_recon(orig, pred, cqp: int, intra: bool = True):
     return (rec, dc_lev.reshape(b, 4), kt.zigzag_scan(ac_lev).reshape(b, 4, 16))
 
 
-def gather_wave_ctx(recon_y, recon_u, recon_v, modes_map, orig_y, orig_u,
-                    orig_v, r, c):
-    """All per-MB context gathers for one wave (padded-buffer layouts)."""
-    r16, c16 = r * 16, c * 16
-    r8, c8 = r * 8, c * 8
-    r4, c4 = r * 4, c * 4
-    gy = jax.vmap(lambda rr, cc: _gather_tile(orig_y, rr, cc, 16, 16))(r16, c16)
-    gu = jax.vmap(lambda rr, cc: _gather_tile(orig_u, rr, cc, 8, 8))(r8, c8)
-    gv = jax.vmap(lambda rr, cc: _gather_tile(orig_v, rr, cc, 8, 8))(r8, c8)
-    ltop = jax.vmap(lambda rr, cc: _gather_tile(recon_y, rr, cc, 1, 25))(r16, c16)[:, 0]
-    lleft = jax.vmap(lambda rr, cc: _gather_tile(recon_y, rr, cc, 16, 1))(r16 + 1, c16)[:, :, 0]
-    tctx_u = jax.vmap(lambda rr, cc: _gather_tile(recon_u, rr, cc, 1, 9))(r8, c8)[:, 0]
-    lctx_u = jax.vmap(lambda rr, cc: _gather_tile(recon_u, rr, cc, 8, 1))(r8 + 1, c8)[:, :, 0]
-    tctx_v = jax.vmap(lambda rr, cc: _gather_tile(recon_v, rr, cc, 1, 9))(r8, c8)[:, 0]
-    lctx_v = jax.vmap(lambda rr, cc: _gather_tile(recon_v, rr, cc, 8, 1))(r8 + 1, c8)[:, :, 0]
-    modes_top = jax.vmap(lambda rr, cc: _gather_tile(modes_map, rr, cc, 1, 4))(r4, c4 + 1)[:, 0]
-    modes_left = jax.vmap(lambda rr, cc: _gather_tile(modes_map, rr, cc, 4, 1))(r4 + 1, c4)[:, :, 0]
-    return (gy, gu, gv, ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
+def init_border_buffers(hm: int, wm: int):
+    """Compact wavefront carry: 1-px-deep borders instead of full planes.
+
+    Intra prediction of MB (r, c) only ever reads (a) the bottom pixel
+    row of MB row r-1 (incl. the top-left corner and top-right run) and
+    (b) the right pixel column of MB (r, c-1) — which, on the 2r+c
+    anti-diagonal schedule, is always the MB finished one wave earlier
+    in the same row.  Carrying just these borders (≈1% of the planes)
+    keeps the per-wave scan state tiny; full recon planes are assembled
+    once after the scan from the per-wave MB tiles.
+
+    Layouts mirror the old padded planes column-wise so gathered values
+    are bit-identical (left border col 0 = 0 / -2, +8 right trash band):
+      row_y  [hm+2, 1+W+8]   row r = pixel row r*16 of the padded plane
+      col_y  [hm+1, 16]      right column of the last finished MB in row r
+      row_u/v [hm+2, 1+W/2+8], col_u/v [hm+1, 8]
+      modes_row [hm+2, 1+wm*4+4], modes_col [hm+1, 4] (fill -2)
+    """
+    w = wm * 16
+    row_y = jnp.zeros((hm + 2, 1 + w + 8), jnp.int32)
+    col_y = jnp.zeros((hm + 1, 16), jnp.int32)
+    row_u = jnp.zeros((hm + 2, 1 + w // 2 + 8), jnp.int32)
+    row_v = jnp.zeros_like(row_u)
+    col_u = jnp.zeros((hm + 1, 8), jnp.int32)
+    col_v = jnp.zeros_like(col_u)
+    modes_row = jnp.full((hm + 2, 1 + wm * 4 + 4), -2, jnp.int32)
+    modes_col = jnp.full((hm + 1, 4), -2, jnp.int32)
+    return dict(row_y=row_y, col_y=col_y, row_u=row_u, col_u=col_u,
+                row_v=row_v, col_v=col_v, modes_row=modes_row,
+                modes_col=modes_col)
+
+
+def gather_border_ctx(bd, r, c):
+    """Per-MB neighbor context for one wave from the border carry."""
+    c16, c8, c4 = c * 16, c * 8, c * 4
+    ltop = jax.vmap(lambda rr, cc: _gather_tile(bd["row_y"], rr, cc, 1, 25))(
+        r, c16)[:, 0]
+    lleft = jnp.take(bd["col_y"], r, axis=0)
+    tctx_u = jax.vmap(lambda rr, cc: _gather_tile(bd["row_u"], rr, cc, 1, 9))(
+        r, c8)[:, 0]
+    lctx_u = jnp.take(bd["col_u"], r, axis=0)
+    tctx_v = jax.vmap(lambda rr, cc: _gather_tile(bd["row_v"], rr, cc, 1, 9))(
+        r, c8)[:, 0]
+    lctx_v = jnp.take(bd["col_v"], r, axis=0)
+    modes_top = jax.vmap(
+        lambda rr, cc: _gather_tile(bd["modes_row"], rr, cc, 1, 4))(
+        r, c4 + 1)[:, 0]
+    modes_left = jnp.take(bd["modes_col"], r, axis=0)
+    return (ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
             modes_top, modes_left)
 
 
-def init_frame_buffers(hm: int, wm: int):
-    """Padded recon planes + modes map with trash bands for invalid lanes."""
-    h, w, h4, w4 = hm * 16, wm * 16, hm * 4, wm * 4
-    recon_y = jnp.zeros((1 + h + 16, 1 + w + 8), jnp.int32)
-    recon_u = jnp.zeros((1 + h // 2 + 8, 1 + w // 2 + 8), jnp.int32)
-    recon_v = jnp.zeros_like(recon_u)
-    modes_map = jnp.full((1 + h4 + 4, 1 + w4), -2, jnp.int32)
-    return recon_y, recon_u, recon_v, modes_map
+def update_border_ctx(bd, r, c, recon_mb, rec_u, rec_v, mode_tiles):
+    """Write the finished wave's MB borders back into the carry."""
+    rr = r + 1
+    a16 = jnp.arange(16, dtype=jnp.int32)
+    a8 = jnp.arange(8, dtype=jnp.int32)
+    a4 = jnp.arange(4, dtype=jnp.int32)
+    out = dict(bd)
+    out["row_y"] = bd["row_y"].at[
+        rr[:, None], 1 + c[:, None] * 16 + a16].set(recon_mb[:, 15, :])
+    out["col_y"] = bd["col_y"].at[r].set(recon_mb[:, :, 15], mode="drop")
+    out["row_u"] = bd["row_u"].at[
+        rr[:, None], 1 + c[:, None] * 8 + a8].set(rec_u[:, 7, :])
+    out["col_u"] = bd["col_u"].at[r].set(rec_u[:, :, 7], mode="drop")
+    out["row_v"] = bd["row_v"].at[
+        rr[:, None], 1 + c[:, None] * 8 + a8].set(rec_v[:, 7, :])
+    out["col_v"] = bd["col_v"].at[r].set(rec_v[:, :, 7], mode="drop")
+    out["modes_row"] = bd["modes_row"].at[
+        rr[:, None], 1 + c[:, None] * 4 + a4].set(mode_tiles[:, 3, :])
+    out["modes_col"] = bd["modes_col"].at[r].set(mode_tiles[:, :, 3],
+                                                 mode="drop")
+    return out
+
+
+def tile_origin_xs(sched: WaveSchedule, y, u, v):
+    """Pre-gather original MB tiles per (wave, lane) with static indices.
+
+    Hoists the per-wave dynamic-slice gathers of the source frame out of
+    the scan body: the schedule is static, so this is one big gather."""
+    hm, wm = sched.height_mbs, sched.width_mbs
+    rs = np.minimum(sched.coords[:, :, 0], hm - 1)
+    cs = sched.coords[:, :, 1]
+    yt = y.reshape(hm, 16, wm, 16).transpose(0, 2, 1, 3)
+    ut = u.reshape(hm, 8, wm, 8).transpose(0, 2, 1, 3)
+    vt = v.reshape(hm, 8, wm, 8).transpose(0, 2, 1, 3)
+    return yt[rs, cs], ut[rs, cs], vt[rs, cs]
+
+
+def assemble_plane(sched: WaveSchedule, tiles, px: int):
+    """[n_waves, max_wave, px, px] wave-major MB tiles → [H, W] plane via
+    a static-permutation gather (TPU-friendly; no scatter)."""
+    hm, wm = sched.height_mbs, sched.width_mbs
+    perm = _raster_perm(sched)
+    t = tiles.reshape((-1,) + tiles.shape[2:])[perm]
+    return t.reshape(hm, wm, px, px).transpose(0, 2, 1, 3).reshape(
+        hm * px, wm * px)
 
 
 CQP_J = jnp.asarray(
@@ -284,14 +352,13 @@ def make_intra_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0):
         avail=jnp.asarray(sched.avail),
     )
 
-    def wave_body(qp, cqp, lam4, lam24, carry, x):
-        recon_y, recon_u, recon_v, modes_map, orig_y, orig_u, orig_v = carry
+    def wave_body(qp, cqp, lam4, lam24, bd, x):
         coords = x["coords"]
         r, c = coords[:, 0], coords[:, 1]
         at, al, atl, atr = (x["avail"][:, i] for i in range(4))
-        (gy, gu, gv, ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
-         modes_top, modes_left) = gather_wave_ctx(
-            recon_y, recon_u, recon_v, modes_map, orig_y, orig_u, orig_v, r, c)
+        gy, gu, gv = x["gy"], x["gu"], x["gv"]
+        (ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
+         modes_top, modes_left) = gather_border_ctx(bd, r, c)
 
         mb4, modebuf, modes_zz, coeffs4, j4 = eval_i4x4(
             gy, ltop, lleft, modes_top, modes_left, at, al, atl, atr,
@@ -308,19 +375,15 @@ def make_intra_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0):
         cmode, ((rec_u, dc_u, ac_u), (rec_v, dc_v, ac_v)) = eval_chroma(
             gu, gv, tctx_u, lctx_u, tctx_v, lctx_v, at, al, atl, cqp)
 
-        r16, c16, r8, c8, r4, c4 = r * 16, c * 16, r * 8, c * 8, r * 4, c * 4
-        recon_y = _scatter_tile(recon_y, recon_mb, r16 + 1, c16 + 1, 16, 16)
-        recon_u = _scatter_tile(recon_u, rec_u, r8 + 1, c8 + 1, 8, 8)
-        recon_v = _scatter_tile(recon_v, rec_v, r8 + 1, c8 + 1, 8, 8)
         mode_tiles = jnp.where(sel16[:, None, None], -1, modebuf)
-        modes_map = _scatter_tile(modes_map, mode_tiles, r4 + 1, c4 + 1, 4, 4)
+        bd = update_border_ctx(bd, r, c, recon_mb, rec_u, rec_v, mode_tiles)
 
         ys = dict(sel16=sel16, i16mode=m16, modes=modes_zz, cmode=cmode,
                   luma_ac=luma_ac, luma_dc=luma_dc,
                   chroma_dc=jnp.stack([dc_u, dc_v], axis=1),
-                  chroma_ac=jnp.stack([ac_u, ac_v], axis=1))
-        return (recon_y, recon_u, recon_v, modes_map,
-                orig_y, orig_u, orig_v), ys
+                  chroma_ac=jnp.stack([ac_u, ac_v], axis=1),
+                  recon_mb=recon_mb, rec_u=rec_u, rec_v=rec_v)
+        return bd, ys
 
     @jax.jit
     def encode(y, u, v, qp):
@@ -331,16 +394,16 @@ def make_intra_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0):
         qp = jnp.asarray(qp, jnp.int32)
         cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
         lam4, lam24, _ = lambda_terms_j(qp)
-        recon_y, recon_u, recon_v, modes_map = init_frame_buffers(hm, wm)
-        carry = (recon_y, recon_u, recon_v, modes_map, y, u, v)
-        carry, ys = jax.lax.scan(
+        gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
+        xs_full = dict(xs, gy=gy_all, gu=gu_all, gv=gv_all)
+        bd = init_border_buffers(hm, wm)
+        _, ys = jax.lax.scan(
             lambda cr, xx: wave_body(qp, cqp, lam4, lam24, cr, xx),
-            carry, xs)
-        recon_y, recon_u, recon_v = carry[0], carry[1], carry[2]
+            bd, xs_full)
         out = dict(
-            recon_y=recon_y[1:1 + h, 1:1 + w],
-            recon_u=recon_u[1:1 + h // 2, 1:1 + w // 2],
-            recon_v=recon_v[1:1 + h // 2, 1:1 + w // 2],
+            recon_y=assemble_plane(sched, ys.pop("recon_mb"), 16),
+            recon_u=assemble_plane(sched, ys.pop("rec_u"), 8),
+            recon_v=assemble_plane(sched, ys.pop("rec_v"), 8),
         )
         return out, ys
 
@@ -361,16 +424,28 @@ def reorder_wave_outputs(sched: WaveSchedule, ys) -> dict:
     return out
 
 
+_PERM_CACHE: dict = {}
+
+
+def _raster_perm(sched: WaveSchedule) -> np.ndarray:
+    """perm[mb_raster_idx] = flat wave-major lane index (static)."""
+    key = id(sched)
+    if key not in _PERM_CACHE:
+        flat_idx = sched.mb_index.reshape(-1)
+        valid = sched.valid.reshape(-1)
+        perm = np.zeros(sched.n_mbs, np.int32)
+        perm[flat_idx[valid]] = np.flatnonzero(valid).astype(np.int32)
+        _PERM_CACHE[key] = perm
+    return _PERM_CACHE[key]
+
+
 def reorder_wave_outputs_j(sched: WaveSchedule, ys) -> dict:
-    """Device twin of `reorder_wave_outputs`: static-index scatter, output
-    stays on device (feeds the on-device entropy serializer)."""
-    flat_idx = sched.mb_index.reshape(-1)
-    valid = sched.valid.reshape(-1)
-    src = jnp.asarray(np.flatnonzero(valid))
-    dst = jnp.asarray(flat_idx[valid])
+    """Device twin of `reorder_wave_outputs`: static-permutation gather
+    (every raster MB has exactly one valid lane), output stays on device
+    (feeds the on-device entropy serializer)."""
+    perm = jnp.asarray(_raster_perm(sched))
     out = {}
     for k, arr in ys.items():
         a = arr.reshape((-1,) + arr.shape[2:])
-        out[k] = jnp.zeros((sched.n_mbs,) + a.shape[1:],
-                           dtype=a.dtype).at[dst].set(a[src])
+        out[k] = a[perm]
     return out

@@ -567,15 +567,17 @@ def words_to_rbsp(words: np.ndarray, nbits: int, header_sink,
     RBSP (mirror of slice_writer.pack_slice).
     """
     words = np.asarray(words, dtype=np.uint32)
-    body = words.astype(">u4").view(np.uint8)[: (int(nbits) + 7) // 8]
-    # feed the body as 8-bit codes (cheap: ~bytes of the stream)
-    nfull = int(nbits) // 8
-    vals = body[:nfull].astype(np.uint64)
-    lens = np.full(nfull, 8, dtype=np.int64)
-    header_sink.put_array(vals, lens)
-    rem = int(nbits) - nfull * 8
+    # feed the body as 64-bit codes (one per pair of device words)
+    nbits = int(nbits)
+    n64 = nbits // 64
+    if words.size % 2:
+        words = np.concatenate([words, np.zeros(1, np.uint32)])
+    w64 = (words[0::2].astype(np.uint64) << np.uint64(32)) \
+        | words[1::2].astype(np.uint64)
+    header_sink.put_array(w64[:n64], np.full(n64, 64, dtype=np.int64))
+    rem = nbits - n64 * 64
     if rem:
-        header_sink.put(int(body[nfull]) >> (8 - rem), rem)
+        header_sink.put(int(w64[n64] >> np.uint64(64 - rem)), rem)
     if final_skip_run is not None and final_skip_run > 0:
         from tpu264.bits.expgolomb import write_ue
         write_ue(header_sink, final_skip_run)
