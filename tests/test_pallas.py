@@ -1,0 +1,71 @@
+"""Pallas kernel bit-exactness vs the jnp reference path (interpret mode
+on the CPU backend; the same kernels compile on TPU — bench.py records
+the delta)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu264.kernels import pallas_kernels as pk
+from tpu264.kernels import transform as kt
+from tpu264.kernels import deblock as kd
+from tpu264.ref import deblock as rd
+
+rng = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("qp", [0, 12, 28, 39, 51])
+@pytest.mark.parametrize("intra", [True, False])
+def test_fdct_quant_matches_jnp(qp, intra):
+    x = rng.integers(-255, 256, size=(37, 16, 4, 4), dtype=np.int64)
+    xj = jnp.asarray(x, jnp.int32)
+    want = kt.quant4x4(kt.fdct4x4(xj), qp, intra=intra)
+    got = pk.fdct_quant4x4(xj, qp, intra=intra)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fdct_quant_traced_qp():
+    import jax
+    x = jnp.asarray(rng.integers(-255, 256, size=(53, 4, 4)), jnp.int32)
+
+    @jax.jit
+    def both(qp):
+        return (pk.fdct_quant4x4(x, qp, intra=True),
+                kt.quant4x4(kt.fdct4x4(x), qp, intra=True))
+
+    for qp in (5, 23, 44):
+        got, want = both(jnp.int32(qp))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fdct_matches_jnp():
+    x = jnp.asarray(rng.integers(-255, 256, size=(201, 4, 4)), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(pk.fdct4x4(x)),
+                                  np.asarray(kt.fdct4x4(x)))
+
+
+@pytest.mark.parametrize("qp", [10, 26, 38, 51])
+def test_deblock_lines_match_jnp(qp):
+    win = jnp.asarray(rng.integers(0, 256, size=(9, 16, 8)), jnp.int32)
+    bs = jnp.asarray(rng.integers(0, 5, size=(9, 16)), jnp.int32)
+    alpha = int(rd.ALPHA_TABLE[qp])
+    beta = int(rd.BETA_TABLE[qp])
+    tc0 = jnp.asarray(rd.TC0_TABLE[qp], jnp.int32)
+    want = kd.filter_luma_lines(win, bs, alpha, beta, tc0)
+    got = pk.filter_luma_lines(win, bs, alpha, beta, tc0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_deblock_lines_near_boundary_values():
+    # crafted flat/edge content exercises strong + normal filter paths
+    base = np.full((4, 16, 8), 120, dtype=np.int64)
+    base[..., 4:] = 124            # small step across the edge
+    base[1, :, 4:] = 250           # large step: filtering suppressed
+    win = jnp.asarray(base, jnp.int32)
+    bs = jnp.asarray(np.array([4, 4, 2, 0])[:, None].repeat(16, 1), jnp.int32)
+    qp = 32
+    alpha, beta = int(rd.ALPHA_TABLE[qp]), int(rd.BETA_TABLE[qp])
+    tc0 = jnp.asarray(rd.TC0_TABLE[qp], jnp.int32)
+    want = kd.filter_luma_lines(win, bs, alpha, beta, tc0)
+    got = pk.filter_luma_lines(win, bs, alpha, beta, tc0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -58,6 +58,9 @@ class Encoder:
     def __init__(self, cfg: EncoderConfig, gop_mode: str | None = None):
         cfg.validate()
         self.cfg = cfg
+        from tpu264.kernels import pallas_kernels as pk
+        if cfg.use_pallas is not None:
+            pk.set_enabled(cfg.use_pallas)
         if gop_mode is None:
             gop_mode = "intra" if cfg.intra_period == 1 else "ippp"
         self.gop_mode = gop_mode
@@ -387,8 +390,8 @@ class Encoder:
         nalus = []
         if self.cabac:
             mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
-            from tpu264.entropy.cabac_slice import encode_frame_cabac
-            payloads, _ = encode_frame_cabac(
+            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
+            payloads, _ = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows, qp)
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
@@ -447,8 +450,8 @@ class Encoder:
         nalus = []
         if self.cabac:
             mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
-            from tpu264.entropy.cabac_slice import encode_frame_cabac
-            payloads, skipped = encode_frame_cabac(
+            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
+            payloads, skipped = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
                 qp, p_slice=True)
             for s in range(cfg.slices_per_frame):

@@ -138,7 +138,7 @@ def make_inter_encoder(sched: WaveSchedule,
         # ---- luma residual for the inter path ----
         resid = gy - pred_inter
         blk = resid.reshape(b, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
-        lev_inter = kt.quant4x4(kt.fdct4x4(blk), qp, intra=False)
+        lev_inter = kt.fdct_quant4x4(blk, qp, intra=False)
         rec_inter = kt.clip1(
             pred_inter
             + kt.block_recon(lev_inter, qp)

@@ -1,0 +1,478 @@
+"""Vectorized CABAC binarization: per-MB (ctx, bin, run) record grids.
+
+JM interleaves binarization with the arithmetic engine per bin
+(`cabac.c` writeSE -> biari_encode_symbol — SURVEY.md §3.5).  TPU-first
+restructuring (BASELINE.json: "binarization + ctx-index derivation
+vectorized per-MB"): every syntax element's bins and context indices are
+derived for ALL macroblocks at once from the final syntax maps —
+neighbor context state (cbf / cbp / mb-kind / |mvd| grids) is causal in
+raster order, so shifted final grids reproduce JM's sequential state
+machine exactly.  The output is a dense [n_mbs, SLOTS] record grid in
+exact coding order; masking + flattening the rows of one slice yields
+that slice's record stream, which a lane-serial engine (native C
+`cabac_core`, or the per-slice Pallas kernel) replays into the
+arithmetic coder.
+
+Record kinds:
+  K_CTX  (0): `a` = ctxIdx, `b` = bin | (run_count << 1) — run_count
+              consecutive bins of the same value on the SAME context
+              (TU continuation runs; state still evolves per bin).
+  K_BYP  (1): `a` = value (MSB-first), `b` = nbits (<= 16).
+  K_TERM (2): `a` = bin (0 = not-I_PCM / continue, 1 = end of slice).
+
+Bit-exactness oracle: `cabac_slice.encode_frame_cabac` (per-bin host
+path); tests assert byte-identical payloads per slice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu264.coding.wavefront import BLK_ORDER
+from . import mb_syntax
+from .cabac_ctx import (CBF_CAT_OFF, LVL_CAT_OFF, SIG_CAT_OFF,
+                        K_SKIP, K_INTER, K_I4, K_I16)
+
+K_CTX, K_BYP, K_TERM = 0, 1, 2
+
+
+class RecordGrid:
+    """Preallocated [SLOTS, n] record accumulator (rows are slots so each
+    append is a contiguous write; transposed once at the end)."""
+
+    # capacity: generous upper bound on slots per MB (asserted in stack)
+    CAP = 4200
+
+    def __init__(self, n: int):
+        self.n = n
+        self.s = 0
+        self._k = np.zeros((self.CAP, n), np.int8)
+        self._a = np.zeros((self.CAP, n), np.int32)
+        self._b = np.zeros((self.CAP, n), np.int32)
+        self._v = np.zeros((self.CAP, n), bool)
+
+    def put(self, kind: int, a, b, valid):
+        j = self.s
+        self._k[j] = kind
+        self._a[j] = a
+        self._b[j] = b
+        self._v[j] = valid
+        self.s = j + 1
+
+    def ctx_bin(self, ctx, binv, valid):
+        self.put(K_CTX, ctx, (np.asarray(binv, np.int32) & 1) | 2, valid)
+
+    def ctx_run(self, ctx, binv, count, valid):
+        b = ((np.asarray(binv, np.int32) & 1)
+             | (np.asarray(count, np.int32) << 1))
+        self.put(K_CTX, ctx, b, valid & (np.asarray(count) > 0))
+
+    def bypass(self, value, nbits, valid):
+        self.put(K_BYP, value, nbits, valid & (np.asarray(nbits) > 0))
+
+    def terminate(self, binv, valid):
+        self.put(K_TERM, np.asarray(binv, np.int32), 0, valid)
+
+    def stack(self):
+        assert self.s <= self.CAP
+        s = self.s
+        return (np.ascontiguousarray(self._k[:s].T),
+                np.ascontiguousarray(self._a[:s].T),
+                np.ascontiguousarray(self._b[:s].T),
+                np.ascontiguousarray(self._v[:s].T))
+
+
+def _eg_suffix(grid: RecordGrid, v, k0: int, valid):
+    """Exp-Golomb order-k0 bypass escape (spec 9.3.2.3 suffix):
+    m ones, a zero, then (k0 + m) value bits.  Closed form of the
+    subtract loop: m = floor(log2(v / 2^k0 + 1))."""
+    v = np.asarray(v, np.int64)
+    t = (v >> k0) + 1                       # exact for v < 2^52
+    m = np.floor(np.log2(t)).astype(np.int64)
+    vv = v - (((np.int64(1) << m) - 1) << k0)
+    k = k0 + m
+    pre_bits = m + 1
+    pre_val = ((np.int64(1) << np.minimum(m, 30)) - 1) << 1
+    if valid.any():
+        assert int(pre_bits[valid].max()) <= 16, "EG prefix run > 16 bits"
+        assert int(k[valid].max()) <= 16, "EG value bits > 16"
+    grid.bypass(pre_val, pre_bits, valid)
+    grid.bypass(vv, k, valid & (k > 0))
+
+
+def _left(g, fill=0):
+    out = np.full_like(g, fill)
+    out[:, 1:] = g[:, :-1]
+    return out
+
+
+def _top(g, slice_rows, fill=0):
+    out = np.full_like(g, fill)
+    out[1:, :] = g[:-1, :]
+    for r in slice_rows:
+        out[int(r), :] = fill
+    return out
+
+
+def _residual_group(grid: RecordGrid, scanned, mc, sig_base, last_base,
+                    lvl_base, cbf_ctx, coded, cdc_inc: bool):
+    """One residual block group for all MBs: cbf + sig/last map + levels.
+
+    scanned: [n, 16] zig-zag levels, zero-padded beyond mc[i] coeffs.
+    mc: [n] coeffs-in-block (4, 15 or 16). *_base: [n] or scalar ctx
+    bases.  Appends a fixed 1 + 30 + 16*6 slot group.
+    """
+    scanned = np.asarray(scanned, np.int64)
+    n = scanned.shape[0]
+    nz = scanned != 0
+    cbf = nz.any(axis=1)
+    grid.ctx_bin(cbf_ctx, cbf.astype(np.int32), coded)
+    pos = np.arange(16)
+    last = np.where(cbf, (nz * (pos + 1)[None, :]).max(axis=1) - 1, -1)
+    on_res = coded & cbf
+    mc = np.broadcast_to(np.asarray(mc, np.int64), (n,))
+
+    for i in range(15):
+        inc = min(i, 2) if cdc_inc else i
+        on = on_res & (i <= last) & (i <= mc - 2)
+        sig = nz[:, i]
+        grid.ctx_bin(sig_base + inc, sig.astype(np.int32), on)
+        grid.ctx_bin(last_base + inc, (i == last).astype(np.int32),
+                     on & sig)
+
+    absv = np.abs(scanned)
+    gt1 = (absv > 1) & nz
+    eq1 = (absv == 1) & nz
+
+    def sfx(msk):
+        c = np.cumsum(msk[:, ::-1].astype(np.int64), axis=1)[:, ::-1]
+        return c - msk
+
+    num_gt1 = sfx(gt1)
+    num_eq1 = sfx(eq1)
+    ctx0 = lvl_base[:, None] + np.where(num_gt1 > 0, 0,
+                                        np.minimum(4, 1 + num_eq1))
+    ctxn = lvl_base[:, None] + 5 + np.minimum(4, num_gt1)
+    for i in range(15, -1, -1):
+        on = on_res & nz[:, i]
+        a = np.where(on, absv[:, i] - 1, 0)
+        grid.ctx_bin(ctx0[:, i], (a > 0).astype(np.int32), on)
+        grid.ctx_run(ctxn[:, i], 1, np.minimum(a, 14) - 1, on & (a >= 2))
+        grid.ctx_bin(ctxn[:, i], 0, on & (a >= 1) & (a < 14))
+        _eg_suffix(grid, np.maximum(a - 14, 0), 0, on & (a >= 14))
+        grid.bypass((scanned[:, i] < 0).astype(np.int32), 1, on)
+
+
+def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
+                   p_slice: bool = False):
+    """Vectorized twin of `cabac_slice.encode_frame_cabac`.
+
+    Returns (kind [n,S] int8, a [n,S] int32, b [n,S] int32,
+    valid [n,S] bool, skipped [n] bool).
+    """
+    n = wm * hm
+    sel16_raw = np.asarray(mb["sel16"]).astype(bool)
+    is_inter = (np.asarray(mb["is_inter"]).astype(bool) if p_slice
+                else np.zeros(n, bool))
+    sel16 = sel16_raw & ~is_inter
+    luma_ac = np.asarray(mb["luma_ac"], np.int64)
+    luma_dc = np.asarray(mb["luma_dc"], np.int64)
+    chroma_dc = np.asarray(mb["chroma_dc"], np.int64)
+    chroma_ac = np.asarray(mb["chroma_ac"], np.int64)
+    modes = np.asarray(mb["modes"], np.int64)
+    cmode = np.asarray(mb["cmode"], np.int64)
+    i16mode = np.asarray(mb["i16mode"], np.int64)
+    cbp_luma, cbp_chroma, cbp = mb_syntax.compute_cbp(
+        sel16, luma_ac, chroma_dc, chroma_ac)
+
+    mb_r = np.arange(n) // wm
+    mb_c = np.arange(n) % wm
+    is_i4 = ~sel16 & ~is_inter
+    modes_grid = np.full((hm * 4, wm * 4), -1, dtype=np.int64)
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        modes_grid[mb_r * 4 + by, mb_c * 4 + bx] = np.where(
+            is_i4, modes[:, idx], -1)
+    mpm = mb_syntax.mpm_grid(modes_grid, [int(r) * 4 for r in slice_rows])
+
+    if p_slice:
+        from tpu264.coding import mvpred
+        mv = np.asarray(mb["mv"], np.int64)
+        mv_map = np.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
+        ref_map = np.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
+        nbm = mvpred.neighbor_mvs_np(mv_map, ref_map, wm, hm, slice_rows)
+        mv_pred = mvpred.predict_mv_np(nbm["mv_a"], nbm["ref_a"],
+                                       nbm["mv_b"], nbm["ref_b"],
+                                       nbm["mv_c"], nbm["ref_c"])
+        mvd = mv - mv_pred
+        mv_skip = np.asarray(mb["mv_skip"], np.int64)
+        skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
+    else:
+        mvd = np.zeros((n, 2), np.int64)
+        skipped = np.zeros(n, bool)
+    coded = ~skipped
+    intra_cur = ~is_inter
+
+    # ---- final-state neighbor grids (2D [hm, wm]) ----
+    kind_g = np.where(skipped, K_SKIP,
+                      np.where(is_inter, K_INTER,
+                               np.where(sel16, K_I16, K_I4))).reshape(hm, wm)
+    cbp_l_g = np.where(coded, cbp_luma, 0).reshape(hm, wm)
+    cbp_c_g = np.where(coded, cbp_chroma, 0).reshape(hm, wm)
+    cpm_g = np.where(is_i4 | sel16, cmode, 0).reshape(hm, wm)
+    absmvd_g = np.where((is_inter & coded)[:, None], np.abs(mvd), 0)\
+        .reshape(hm, wm, 2)
+
+    av_l = np.zeros((hm, wm), bool)
+    av_l[:, 1:] = True
+    av_t = np.zeros((hm, wm), bool)
+    av_t[1:, :] = True
+    for r in slice_rows:
+        av_t[int(r), :] = False
+
+    def left(g, fill=0):
+        return _left(g, fill)
+
+    def top(g, fill=0):
+        return _top(g, slice_rows, fill)
+
+    grid = RecordGrid(n)
+
+    # ---- mb_skip_flag (P slices: every MB) ----
+    if p_slice:
+        ns_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)
+                & av_l).astype(np.int32)
+        ns_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
+        # unavailable neighbors contribute 0 (skip fill makes != fail)
+        grid.ctx_bin((11 + ns_l + ns_t).reshape(n),
+                     skipped.astype(np.int32), np.ones(n, bool))
+
+    # ---- mb_type ----
+    intra_coded = coded & intra_cur
+    if p_slice:
+        grid.ctx_bin(14, intra_cur.astype(np.int32), coded)
+        inter_coded = coded & is_inter
+        grid.ctx_bin(15, 0, inter_coded)      # P_L0_16x16 prefix
+        grid.ctx_bin(16, 0, inter_coded)
+        first_ctx = np.full(n, 17, np.int32)
+        rest = (18, 19, 19, 20, 20)
+    else:
+        i16_l = (av_l & (left(kind_g, -1) == K_I16)).astype(np.int32)
+        i16_t = (av_t & (top(kind_g, -1) == K_I16)).astype(np.int32)
+        first_ctx = (3 + i16_l + i16_t).reshape(n)
+        rest = (6, 7, 8, 9, 10)
+    grid.ctx_bin(first_ctx, sel16.astype(np.int32), intra_coded)
+    on16 = intra_coded & sel16
+    grid.terminate(0, on16)                   # not I_PCM
+    grid.ctx_bin(rest[0], (cbp_luma > 0).astype(np.int32), on16)
+    grid.ctx_bin(rest[1], (cbp_chroma != 0).astype(np.int32), on16)
+    grid.ctx_bin(rest[2], (cbp_chroma - 1).clip(0).astype(np.int32),
+                 on16 & (cbp_chroma != 0))
+    grid.ctx_bin(rest[3], (i16mode >> 1).astype(np.int32), on16)
+    grid.ctx_bin(rest[4], (i16mode & 1).astype(np.int32), on16)
+
+    # ---- intra 4x4 pred modes ----
+    on_i4 = coded & is_i4
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        m = modes[:, idx]
+        p = mpm[mb_r * 4 + by, mb_c * 4 + bx]
+        is_mpm = m == p
+        grid.ctx_bin(68, is_mpm.astype(np.int32), on_i4)
+        rem = (m - (m > p)).astype(np.int64)
+        onr = on_i4 & ~is_mpm
+        grid.ctx_bin(69, (rem & 1).astype(np.int32), onr)
+        grid.ctx_bin(69, ((rem >> 1) & 1).astype(np.int32), onr)
+        grid.ctx_bin(69, ((rem >> 2) & 1).astype(np.int32), onr)
+
+    # ---- intra_chroma_pred_mode (TU cMax=3) ----
+    nb_l = (av_l & (left(kind_g, K_SKIP) >= K_I4)
+            & (left(cpm_g) != 0)).astype(np.int32)
+    nb_t = (av_t & (top(kind_g, K_SKIP) >= K_I4)
+            & (top(cpm_g) != 0)).astype(np.int32)
+    cpm_ctx = (64 + nb_l + nb_t).reshape(n)
+    grid.ctx_bin(cpm_ctx, (cmode != 0).astype(np.int32), intra_coded)
+    grid.ctx_bin(67, (cmode > 1).astype(np.int32),
+                 intra_coded & (cmode != 0))
+    grid.ctx_bin(67, (cmode == 3).astype(np.int32),
+                 intra_coded & (cmode > 1))
+
+    # ---- mvd (P 16x16): x (comp 1, base 40) then y (comp 0, base 47) ----
+    if p_slice:
+        inter_coded = coded & is_inter
+        for comp, base in ((1, 40), (0, 47)):
+            s = (np.where(av_l, left(absmvd_g[:, :, comp]), 0)
+                 + np.where(av_t, top(absmvd_g[:, :, comp]), 0)).reshape(n)
+            inc = np.where(s < 3, 0, np.where(s <= 32, 1, 2))
+            a = np.abs(mvd[:, comp])
+            grid.ctx_bin(base + inc, (a > 0).astype(np.int32), inter_coded)
+            for k in (1, 2, 3):
+                grid.ctx_bin(base + k + 2, (a > k).astype(np.int32),
+                             inter_coded & (a >= k))
+            grid.ctx_run(base + 6, 1, np.minimum(a, 9) - 4,
+                         inter_coded & (a >= 5))
+            grid.ctx_bin(base + 6, 0, inter_coded & (a >= 4) & (a < 9))
+            _eg_suffix(grid, np.maximum(a - 9, 0), 3,
+                       inter_coded & (a >= 9))
+            grid.bypass((mvd[:, comp] < 0).astype(np.int32), 1,
+                        inter_coded & (a > 0))
+
+    # ---- coded_block_pattern (kind != I16) ----
+    on_cbp = coded & ~sel16
+    skip_g = kind_g == K_SKIP
+
+    def cbp_cond_l(bit):
+        # skip neighbors have cbp 0 in the grid -> condTermFlag 1 (matches
+        # the host state machine's explicit K_SKIP branch)
+        v = ((left(cbp_l_g) >> bit) & 1) == 0
+        return np.where(av_l, v.astype(np.int32), 0)
+
+    def cbp_cond_t(bit):
+        v = ((top(cbp_l_g) >> bit) & 1) == 0
+        return np.where(av_t, v.astype(np.int32), 0)
+
+    own = lambda bit: (((cbp >> bit) & 1) == 0).astype(np.int32)
+    ca0, cb0 = cbp_cond_l(1).reshape(n), cbp_cond_t(2).reshape(n)
+    grid.ctx_bin(73 + ca0 + 2 * cb0, (cbp >> 0) & 1, on_cbp)
+    ca1, cb1 = own(0), cbp_cond_t(3).reshape(n)
+    grid.ctx_bin(73 + ca1 + 2 * cb1, (cbp >> 1) & 1, on_cbp)
+    ca2, cb2 = cbp_cond_l(3).reshape(n), own(0)
+    grid.ctx_bin(73 + ca2 + 2 * cb2, (cbp >> 2) & 1, on_cbp)
+    ca3, cb3 = own(2), own(1)
+    grid.ctx_bin(73 + ca3 + 2 * cb3, (cbp >> 3) & 1, on_cbp)
+    cc = cbp >> 4
+    ccl = np.where(av_l, (left(cbp_c_g) != 0).astype(np.int32), 0).reshape(n)
+    cct = np.where(av_t, (top(cbp_c_g) != 0).astype(np.int32), 0).reshape(n)
+    grid.ctx_bin(77 + ccl + 2 * cct, (cc != 0).astype(np.int32), on_cbp)
+    ccl2 = np.where(av_l, (left(cbp_c_g) == 2).astype(np.int32), 0)\
+        .reshape(n)
+    cct2 = np.where(av_t, (top(cbp_c_g) == 2).astype(np.int32), 0)\
+        .reshape(n)
+    grid.ctx_bin(81 + ccl2 + 2 * cct2, (cc - 1).clip(0).astype(np.int32),
+                 on_cbp & (cc != 0))
+
+    # ---- mb_qp_delta (always 0 in this encoder; prev_nz stays 0) ----
+    grid.ctx_bin(60, 0, coded & (sel16 | (cbp > 0)))
+
+    # ---- residual blocks ----
+    ic = intra_cur.astype(np.int32)
+
+    # cbf value grids (final state)
+    cbf_ldc = (sel16 & coded & (luma_dc != 0).any(1)).reshape(hm, wm)
+    l4_i16 = (luma_ac[:, :, 1:] != 0).any(2) & (cbp_luma > 0)[:, None]
+    bit_of_idx = np.arange(16) // 4
+    l4_reg = (luma_ac != 0).any(2) \
+        & (((cbp_luma[:, None] >> bit_of_idx[None, :]) & 1) > 0)
+    l4 = np.where(sel16[:, None], l4_i16, l4_reg) & coded[:, None]
+    cbf_l4_g = np.zeros((hm * 4, wm * 4), np.int32)
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        cbf_l4_g[mb_r * 4 + by, mb_c * 4 + bx] = l4[:, idx]
+    cbf_cdc_g = np.zeros((2, hm, wm), np.int32)
+    cbf_cac_g = np.zeros((2, hm * 2, wm * 2), np.int32)
+    for comp in range(2):
+        cbf_cdc_g[comp] = ((chroma_dc[:, comp] != 0).any(1)
+                           & (cbp_chroma >= 1) & coded).reshape(hm, wm)
+        cac_nz = (chroma_ac[:, comp, :, 1:] != 0).any(2) \
+            & (cbp_chroma == 2)[:, None] & coded[:, None]
+        for idx in range(4):
+            cbf_cac_g[comp, mb_r * 2 + idx // 2, mb_c * 2 + idx % 2] = \
+                cac_nz[:, idx]
+
+    # I16 luma DC (cat 0)
+    v_l = np.where(left(kind_g, -1) == K_I16, left(cbf_ldc.astype(np.int32)),
+                   0)
+    v_t = np.where(top(kind_g, -1) == K_I16, top(cbf_ldc.astype(np.int32)),
+                   0)
+    ca = np.where(av_l, v_l, 1).reshape(n)    # cur MB is I16 => intra
+    cb = np.where(av_t, v_t, 1).reshape(n)
+    _residual_group(grid, luma_dc, 16,
+                    np.full(n, 105 + SIG_CAT_OFF[0]),
+                    np.full(n, 166 + SIG_CAT_OFF[0]),
+                    np.full(n, 227 + LVL_CAT_OFF[0]),
+                    85 + CBF_CAT_OFF[0] + ca + 2 * cb,
+                    coded & sel16, cdc_inc=False)
+
+    # 16 luma blocks: I16-AC (cat 1, 15 coeffs) vs 4x4 (cat 2, 16 coeffs)
+    sig_b = np.where(sel16, 105 + SIG_CAT_OFF[1], 105 + SIG_CAT_OFF[2])
+    last_b = np.where(sel16, 166 + SIG_CAT_OFF[1], 166 + SIG_CAT_OFF[2])
+    lvl_b = np.where(sel16, 227 + LVL_CAT_OFF[1], 227 + LVL_CAT_OFF[2])
+    cbf_off = np.where(sel16, CBF_CAT_OFF[1], CBF_CAT_OFF[2])
+    mc_l = np.where(sel16, 15, 16)
+    lac16 = np.where(sel16[:, None, None],
+                     np.concatenate([luma_ac[:, :, 1:],
+                                     np.zeros((n, 16, 1), np.int64)], 2),
+                     luma_ac)
+    for idx, (by, bx) in enumerate(BLK_ORDER):
+        g4r, g4c = mb_r * 4 + by, mb_c * 4 + bx
+        if bx > 0:
+            av_a = np.ones(n, bool)
+        else:
+            av_a = av_l.reshape(-1)[mb_r * wm + mb_c]
+        if by > 0:
+            av_b = np.ones(n, bool)
+        else:
+            av_b = av_t.reshape(-1)[mb_r * wm + mb_c]
+        ca = np.where(av_a, cbf_l4_g[g4r, np.maximum(g4c - 1, 0)], ic)
+        cb = np.where(av_b, cbf_l4_g[np.maximum(g4r - 1, 0), g4c], ic)
+        coded_blk = coded & (sel16 & (cbp_luma > 0)
+                             | (~sel16 & ((cbp_luma >> (idx // 4)) & 1 > 0)))
+        _residual_group(grid, lac16[:, idx], mc_l, sig_b, last_b, lvl_b,
+                        85 + cbf_off + ca + 2 * cb, coded_blk,
+                        cdc_inc=False)
+
+    # chroma DC (cat 3, 4 coeffs)
+    for comp in range(2):
+        v_l = np.where(left(cbp_c_g) != 0, left(cbf_cdc_g[comp]), 0)
+        v_t = np.where(top(cbp_c_g) != 0, top(cbf_cdc_g[comp]), 0)
+        ca = np.where(av_l, v_l, ic.reshape(hm, wm)).reshape(n)
+        cb = np.where(av_t, v_t, ic.reshape(hm, wm)).reshape(n)
+        cdc16 = np.concatenate(
+            [chroma_dc[:, comp], np.zeros((n, 12), np.int64)], 1)
+        _residual_group(grid, cdc16, 4,
+                        np.full(n, 105 + SIG_CAT_OFF[3]),
+                        np.full(n, 166 + SIG_CAT_OFF[3]),
+                        np.full(n, 227 + LVL_CAT_OFF[3]),
+                        85 + CBF_CAT_OFF[3] + ca + 2 * cb,
+                        coded & (cbp_chroma >= 1), cdc_inc=True)
+
+    # chroma AC (cat 4, 15 coeffs, 2x2 grid neighbors)
+    for comp in range(2):
+        for idx in range(4):
+            by, bx = idx // 2, idx % 2
+            g2r, g2c = mb_r * 2 + by, mb_c * 2 + bx
+            if bx > 0:
+                av_a = np.ones(n, bool)
+            else:
+                av_a = av_l.reshape(-1)[mb_r * wm + mb_c]
+            if by > 0:
+                av_b = np.ones(n, bool)
+            else:
+                av_b = av_t.reshape(-1)[mb_r * wm + mb_c]
+            ca = np.where(av_a, cbf_cac_g[comp, g2r, np.maximum(g2c - 1, 0)],
+                          ic)
+            cb = np.where(av_b, cbf_cac_g[comp, np.maximum(g2r - 1, 0), g2c],
+                          ic)
+            cac16 = np.concatenate(
+                [chroma_ac[:, comp, idx, 1:], np.zeros((n, 1), np.int64)], 1)
+            _residual_group(grid, cac16, 15,
+                            np.full(n, 105 + SIG_CAT_OFF[4]),
+                            np.full(n, 166 + SIG_CAT_OFF[4]),
+                            np.full(n, 227 + LVL_CAT_OFF[4]),
+                            85 + CBF_CAT_OFF[4] + ca + 2 * cb,
+                            coded & (cbp_chroma == 2), cdc_inc=False)
+
+    # ---- end_of_slice_flag ----
+    rows = [int(r) for r in slice_rows] + [hm]
+    is_last = np.zeros(n, bool)
+    for s in range(len(rows) - 1):
+        is_last[rows[s + 1] * wm - 1] = True
+    grid.terminate(is_last.astype(np.int32), np.ones(n, bool))
+
+    k, a, b, v = grid.stack()
+    return k, a, b, v, skipped
+
+
+def slice_records(k, a, b, v, wm: int, first_row: int, last_row: int):
+    """Flatten one slice's valid records in coding order."""
+    lo, hi = first_row * wm, last_row * wm
+    m = v[lo:hi].reshape(-1)
+    return (k[lo:hi].reshape(-1)[m], a[lo:hi].reshape(-1)[m],
+            b[lo:hi].reshape(-1)[m])

@@ -3,8 +3,9 @@
 Vectorized counterparts of `tpu264.ref.transform` (normative math, spec
 8.5.10-8.5.12; JM `block.c`/`quant4x4.c` parity — SURVEY.md §2a #13).
 All functions map over arbitrary leading batch dimensions of [..., 4, 4]
-int32 arrays.  Matmuls use int32 accumulation on the host/VPU path; the
-Pallas MXU variants live in `pallas_kernels.py`.
+int32 arrays.  Matmuls use int32 accumulation on the XLA/VPU path; the
+Pallas MXU variants live in `pallas_kernels.py` (bit-exact twins, used
+for large batches via `fdct_quant4x4` when `use_pallas` is enabled).
 """
 
 from __future__ import annotations
@@ -41,6 +42,25 @@ def _mm(a, m_left, m_right):
 def fdct4x4(x):
     """W = Cf X Cf^T, batched."""
     return _mm(x.astype(jnp.int32), CF, CF.T)
+
+
+# batches at least this large route through the Pallas MXU kernel when
+# enabled (smaller calls inside the wavefront scan stay fused XLA)
+_PALLAS_MIN_BLOCKS = 2048
+
+
+def fdct_quant4x4(x, qp, intra: bool):
+    """Fused forward DCT + quant over [..., 4, 4] blocks.
+
+    Dispatches to the Pallas MXU kernel (`pallas_kernels.fdct_quant4x4`,
+    bit-exact twin) for large batches when `use_pallas` is on."""
+    from . import pallas_kernels as pk
+    nblocks = 1
+    for d in x.shape[:-2]:
+        nblocks *= d
+    if pk.enabled() and nblocks >= _PALLAS_MIN_BLOCKS:
+        return pk.fdct_quant4x4(x, qp, intra)
+    return quant4x4(fdct4x4(x), qp, intra=intra)
 
 
 def quant4x4(w, qp, intra: bool):
