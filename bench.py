@@ -2,8 +2,11 @@
 
 Encodes a synthetic 1080p (1920x1088) sequence all-intra at QP28 —
 BASELINE.json config 4's resolution on the currently shipped feature set —
-and reports end-to-end frames/s (device wavefront encode + host CAVLC +
-bitstream assembly) on one chip.
+and reports end-to-end WARM frames/s (device wavefront encode + device
+CAVLC serialize/pack + deblock + host NAL assembly) on one chip.  The
+batched pipeline is warmed on a full batch first so the timed region
+measures throughput, not XLA compilation; compile seconds are reported
+separately in extras (VERDICT r2 weak #1).
 
 vs_baseline: the JM reference software publishes no numbers
 (BASELINE.md); JM-class RD-optimized software encoding at 1080p runs on
@@ -16,17 +19,24 @@ Prints exactly one JSON line.
 
 import json
 import os
-import sys
 import time
 
-import numpy as np
+# persistent XLA compile cache: first bench run pays the compile, later
+# runs start warm (cache is keyed on program hash, safe across edits)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main() -> None:
+    import numpy as np
+
     width = int(os.environ.get("TPU264_BENCH_W", 1920))
     height = int(os.environ.get("TPU264_BENCH_H", 1088))
     qp = int(os.environ.get("TPU264_BENCH_QP", 28))
-    frames = int(os.environ.get("TPU264_BENCH_FRAMES", 4))
+    batch = int(os.environ.get("TPU264_BATCH", "4"))
+    frames = int(os.environ.get("TPU264_BENCH_FRAMES", 2 * batch))
+    frames = max(frames, batch)          # at least one full batch timed
 
     from tpu264.config import EncoderConfig
     from tpu264.coding.encoder import Encoder
@@ -34,14 +44,19 @@ def main() -> None:
 
     cfg = EncoderConfig(width=width, height=height, qp=qp)
     enc = Encoder(cfg)
-    seq = [synth_frame(width, height, t) for t in range(frames + 1)]
+    seq = [synth_frame(width, height, t) for t in range(frames + batch)]
 
-    # warmup (compile)
-    enc.encode_sequence(seq[:1])
+    # warmup compiles THE path being timed: a full batch through the
+    # batched pipeline (bench harness bug in r2: warming with one frame
+    # compiled only the per-frame path and the timed region paid a
+    # ~2-minute XLA compile)
+    t0 = time.monotonic()
+    enc.encode_sequence(seq[:batch])
+    compile_s = time.monotonic() - t0
     enc.stats.clear()
 
     t0 = time.monotonic()
-    stream = enc.encode_sequence(seq[1:])
+    enc.encode_sequence(seq[batch:])
     dt = time.monotonic() - t0
     fps = frames / dt
     psnr_y = float(np.mean([s.psnr_y for s in enc.stats]))
@@ -57,6 +72,8 @@ def main() -> None:
             "mbps_at_30fps": round(bitrate, 2),
             "qp": qp,
             "resolution": f"{width}x{height}",
+            "batch": batch,
+            "compile_s": round(compile_s, 1),
             "backend": _backend_name(),
         },
     }))

@@ -1,0 +1,67 @@
+"""B-slice conformance: hierarchical / flat B-GOP streams must decode
+bit-exactly in libavcodec AND in our own decoder (BASELINE.json config 4;
+VERDICT r2 task #4: GOP-8 two-layer hierarchical stream).
+"""
+
+import numpy as np
+import pytest
+
+from lavc_util import lavc_decode
+from tpu264.config import EncoderConfig
+from tpu264.coding.encoder import Encoder
+from tpu264.decode.decoder import decode_annexb
+from tpu264.media.synth import synth_frame
+
+W, H = 176, 144
+
+
+def _roundtrip(nb, qp, slices, nfr, period=0):
+    cfg = EncoderConfig(width=W, height=H, qp=qp, intra_period=period,
+                        num_b_frames=nb, slices_per_frame=slices)
+    enc = Encoder(cfg)
+    frames = [synth_frame(W, H, t) for t in range(nfr)]
+    stream = enc.encode_sequence(frames)
+    dec, errors = lavc_decode(stream, W, H)
+    assert not errors, errors[:2]
+    assert len(dec) == nfr
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), ("lavcY", i)
+        assert np.array_equal(
+            du, np.asarray(enc.recons[i][1]).astype(np.uint8)), ("lavcU", i)
+        assert np.array_equal(
+            dv, np.asarray(enc.recons[i][2]).astype(np.uint8)), ("lavcV", i)
+    own = decode_annexb(stream)
+    assert len(own) == nfr
+    for i, (dy, du, dv) in enumerate(own):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), ("ownY", i)
+        assert np.array_equal(
+            du, np.asarray(enc.recons[i][1]).astype(np.uint8)), ("ownU", i)
+        assert np.array_equal(
+            dv, np.asarray(enc.recons[i][2]).astype(np.uint8)), ("ownV", i)
+    return enc
+
+
+def test_ibpbp_flat():
+    enc = _roundtrip(nb=1, qp=28, slices=1, nfr=5)
+    kinds = [s.slice_type for s in enc.stats]
+    assert kinds == ["IDR", "B", "P", "B", "P"]
+
+
+def test_gop8_two_layer_hierarchical():
+    """GOP-8: anchors every 4, layer-1 reference B at the midpoint,
+    layer-2 non-reference Bs (the VERDICT 'done' gate)."""
+    enc = _roundtrip(nb=3, qp=28, slices=1, nfr=9)
+    kinds = [s.slice_type for s in enc.stats]
+    assert kinds == ["IDR", "B", "Bref", "B", "P", "B", "Bref", "B", "P"]
+
+
+def test_hierarchical_qp_sweep_multislice():
+    _roundtrip(nb=3, qp=12, slices=3, nfr=9)
+    _roundtrip(nb=2, qp=40, slices=1, nfr=7)
+
+
+def test_closed_gop_periodic_idr():
+    enc = _roundtrip(nb=2, qp=28, slices=1, nfr=10, period=2)
+    assert sum(s.slice_type == "IDR" for s in enc.stats) >= 2

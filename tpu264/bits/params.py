@@ -29,6 +29,9 @@ class SPS:
     pic_height_in_map_units: int = 9
     frame_mbs_only_flag: int = 1
     direct_8x8_inference_flag: int = 1
+    # when set, a minimal VUI with bitstream_restriction is written so
+    # decoders size their reorder buffer correctly (B pyramids)
+    num_reorder_frames: int | None = None
 
     @property
     def width(self) -> int:
@@ -66,7 +69,23 @@ class SPS:
             raise NotImplementedError("interlace (MBAFF/PAFF) is out of scope")
         s.put(self.direct_8x8_inference_flag, 1)
         s.put(0, 1)                   # frame_cropping_flag
-        s.put(0, 1)                   # vui_parameters_present_flag
+        if self.num_reorder_frames is None:
+            s.put(0, 1)               # vui_parameters_present_flag
+        else:
+            s.put(1, 1)               # VUI (spec E.1.1), minimal subset
+            for _ in range(7):
+                s.put(0, 1)           # aspect/overscan/signal/chroma/
+            #                           timing/nal_hrd/vcl_hrd absent
+            s.put(0, 1)               # pic_struct_present_flag
+            s.put(1, 1)               # bitstream_restriction_flag
+            s.put(1, 1)               # motion_vectors_over_pic_boundaries
+            write_ue(s, 0)            # max_bytes_per_pic_denom
+            write_ue(s, 0)            # max_bits_per_mb_denom
+            write_ue(s, 16)           # log2_max_mv_length_horizontal
+            write_ue(s, 16)           # log2_max_mv_length_vertical
+            write_ue(s, self.num_reorder_frames)
+            write_ue(s, self.max_num_ref_frames
+                     + self.num_reorder_frames)  # max_dec_frame_buffering
         s.rbsp_trailing_bits()
         return s.to_bytes()
 

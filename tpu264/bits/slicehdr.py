@@ -38,6 +38,10 @@ class SliceHeader:
     is_idr: bool = True
     nal_ref_idc: int = 3
     cabac_init_idc: int = 0
+    # ref_pic_list_modification: list of (modification_of_pic_nums_idc,
+    # abs_diff_pic_num_minus1) commands per list (spec 7.3.3.1)
+    reorder_l0: tuple = ()
+    reorder_l1: tuple = ()
 
     def write_rbsp_head(self, sps: SPS, pps: PPS) -> BitSink:
         """Write the slice header into a fresh BitSink (slice data follows)."""
@@ -64,11 +68,21 @@ class SliceHeader:
                 write_ue(s, self.num_ref_idx_l0_active - 1)
                 if self.slice_type == SLICE_B:
                     write_ue(s, self.num_ref_idx_l1_active - 1)
-        # ref_pic_list_modification: none (default order)
+        # ref_pic_list_modification (spec 7.3.3.1)
         if self.slice_type in (SLICE_P, SLICE_B):
-            s.put(0, 1)                   # ref_pic_list_modification_flag_l0
+            s.put(1 if self.reorder_l0 else 0, 1)
+            for idc, val in self.reorder_l0:
+                write_ue(s, idc)
+                write_ue(s, val)
+            if self.reorder_l0:
+                write_ue(s, 3)            # end of commands
         if self.slice_type == SLICE_B:
-            s.put(0, 1)                   # ..._l1
+            s.put(1 if self.reorder_l1 else 0, 1)
+            for idc, val in self.reorder_l1:
+                write_ue(s, idc)
+                write_ue(s, val)
+            if self.reorder_l1:
+                write_ue(s, 3)
         if pps.weighted_pred_flag and self.slice_type == SLICE_P:
             raise NotImplementedError("explicit weighted prediction tables")
         if self.nal_ref_idc != 0:
@@ -116,12 +130,23 @@ class SliceHeader:
                 h.num_ref_idx_l0_active = read_ue(r) + 1
                 if h.slice_type == SLICE_B:
                     h.num_ref_idx_l1_active = read_ue(r) + 1
+        def _parse_reorder():
+            cmds = []
+            while True:
+                idc = read_ue(r)
+                if idc == 3:
+                    break
+                if idc not in (0, 1):
+                    raise NotImplementedError(f"reorder idc {idc}")
+                cmds.append((idc, read_ue(r)))
+            return tuple(cmds)
+
         if h.slice_type in (SLICE_P, SLICE_B):
             if r.read(1):
-                raise NotImplementedError("ref_pic_list_modification")
+                h.reorder_l0 = _parse_reorder()
         if h.slice_type == SLICE_B:
             if r.read(1):
-                raise NotImplementedError("ref_pic_list_modification l1")
+                h.reorder_l1 = _parse_reorder()
         if pps.weighted_pred_flag and h.slice_type == SLICE_P:
             raise NotImplementedError("pred_weight_table")
         if nal_ref_idc != 0:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from tpu264.bits import nal
 from tpu264.bits.bitwriter import BitSink
 from tpu264.bits.params import PPS, SPS
-from tpu264.bits.slicehdr import SLICE_I, SLICE_P, SliceHeader
+from tpu264.bits.slicehdr import (SLICE_B, SLICE_I, SLICE_P,
+                                  SliceHeader)
 from tpu264.config import EncoderConfig
 from tpu264.entropy import slice_writer
 from .inter_frame import make_inter_encoder
@@ -62,18 +63,30 @@ class Encoder:
         if cfg.use_pallas is not None:
             pk.set_enabled(cfg.use_pallas)
         if gop_mode is None:
-            gop_mode = "intra" if cfg.intra_period == 1 else "ippp"
+            if cfg.num_b_frames > 0 and cfg.intra_period != 1:
+                gop_mode = "bgop"
+            else:
+                gop_mode = "intra" if cfg.intra_period == 1 else "ippp"
         self.gop_mode = gop_mode
         self.sched = build_schedule(cfg.width_mbs, cfg.height_mbs,
                                     cfg.slices_per_frame)
+        # B GOPs need display-order POC (type 0); I/P streams keep the
+        # decode-order type 2 (bit-identical to earlier rounds)
+        poc_type = 0 if gop_mode == "bgop" else 2
         self.sps = SPS(
-            profile_idc=cfg.profile_idc,
-            constraint_flags=0xC0 if cfg.profile_idc == 66 else 0,
+            profile_idc=(77 if gop_mode == "bgop" and cfg.profile_idc == 66
+                         else cfg.profile_idc),
+            constraint_flags=(0xC0 if cfg.profile_idc == 66
+                              and gop_mode != "bgop" else 0),
             level_idc=cfg.level_idc,
-            pic_order_cnt_type=2,
-            max_num_ref_frames=max(1, cfg.num_ref_frames),
+            pic_order_cnt_type=poc_type,
+            max_num_ref_frames=max(
+                (4 if cfg.num_b_frames >= 2 else 2)
+                if gop_mode == "bgop" else 1, cfg.num_ref_frames),
             pic_width_in_mbs=cfg.width_mbs,
             pic_height_in_map_units=cfg.height_mbs,
+            num_reorder_frames=(None if gop_mode != "bgop"
+                                else (2 if cfg.num_b_frames >= 2 else 1)),
         )
         self.cabac = cfg.symbol_mode.upper() == "CABAC"
         if self.cabac and self.sps.profile_idc == 66:
@@ -88,8 +101,13 @@ class Encoder:
         )
         self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
-        if gop_mode == "ippp":
+        self._encode_b = None
+        if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
+                self.sched, search_range=cfg.search_range)
+        if gop_mode == "bgop":
+            from .b_frame import make_b_encoder
+            self._encode_b = make_b_encoder(
                 self.sched, search_range=cfg.search_range)
         # in-loop deblocking: idc 0 (on) single-slice, idc 2 (slice-local)
         # multi-slice, idc 1 (off) when disabled
@@ -132,7 +150,12 @@ class Encoder:
                 w, nb = dcav.pack_slices_j(v, l, n_slices, cap_words)
                 return w, nb, skipped
 
-            self._ser_i, self._ser_p = _ser_i, _ser_p
+            @jax.jit
+            def _ser_b(mbd):
+                v, l = dcav.serialize_frame_b_j(mbd, wm, hm, rows)
+                return dcav.pack_slices_j(v, l, n_slices, cap_words)
+
+            self._ser_i, self._ser_p, self._ser_b = _ser_i, _ser_p, _ser_b
 
         @jax.jit
         def _sse3(oy, ou, ov, ry, ru, rv):
@@ -264,6 +287,11 @@ class Encoder:
             words, nbits, ry, ru, rv, sse = fn(ys, us, vs)
             nbits_np = np.asarray(nbits)   # syncs the device
             sse_np = np.asarray(sse)
+            # bucketed fixed-shape transfer: data-dependent device
+            # slices would compile a fresh XLA program per distinct
+            # stream length; pow2 buckets keep it to a handful of
+            # executables and ~stream-sized transfers
+            words_np = _bucketed_words(words, nbits_np)
             per_frame_s = (time.monotonic() - t0) / len(chunk)
             for b in range(len(chunk)):
                 i = c0 + b
@@ -281,7 +309,7 @@ class Encoder:
                     )
                     sink = hdr.write_rbsp_head(self.sps, self.pps)
                     nb = int(nbits_np[b, s])
-                    wslice = np.asarray(words[b, s, : (nb + 31) // 32])
+                    wslice = words_np[b, s, : (nb + 31) // 32]
                     rbsp = self._dcav.words_to_rbsp(wslice, nb, sink)
                     nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
                 out.extend(nalus)
@@ -313,6 +341,8 @@ class Encoder:
                 return self._encode_sequence_intra_batched(
                     itertools.chain(head, it), batch)
             frames = head
+        if self.gop_mode == "bgop":
+            return self._encode_sequence_bgop(frames)
         out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
                nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
         self.recons = []
@@ -362,8 +392,172 @@ class Encoder:
                 i, "IDR" if is_idr else "P", bits, ps[0], ps[1], ps[2], dt))
         return b"".join(out)
 
+
+    def _encode_sequence_bgop(self, frames) -> bytes:
+        """B-GOP sequence (display-order POC type 0, closed GOPs).
+
+        num_b_frames == 1: classic IbPbP.  num_b_frames >= 2: dyadic
+        hierarchical pyramid — the midpoint of each anchor gap is coded
+        as a *reference* B (layer 1), recursing into the halves until
+        leaf non-reference Bs (JM `explicit_gop.c` hierarchical coding).
+        P anchors carry a ref_pic_list_modification command so list0[0]
+        stays the previous anchor (the default order would pick the most
+        recently decoded mid-B)."""
+        cfg = self.cfg
+        frames = list(frames)
+        nfr = len(frames)
+        step = cfg.num_b_frames + 1
+        hier = cfg.num_b_frames >= 2
+        anchors = list(range(0, nfr, step))
+        if anchors[-1] != nfr - 1:
+            anchors.append(nfr - 1)
+
+        def fill_gap(lo, hi, plan):
+            if hi - lo <= 1:
+                return
+            if not hier:
+                for d in range(lo + 1, hi):
+                    plan.append((d, "B", lo, hi))
+                return
+            mid = (lo + hi) // 2
+            is_ref = (mid - lo > 1) or (hi - mid > 1)
+            plan.append((mid, "Bref" if is_ref else "B", lo, hi))
+            fill_gap(lo, mid, plan)
+            fill_gap(mid, hi, plan)
+
+        plan = []                      # (display, kind, ref0, ref1)
+        prev = None
+        period = cfg.intra_period
+        for ai, a in enumerate(anchors):
+            is_idr = ai == 0 or (period > 1 and ai % period == 0)
+            if prev is None:
+                plan.append((a, "I", None, None))
+            elif is_idr:
+                # closed GOP: an IDR flushes the DPB, so the gap frames
+                # before it cannot be coded after it — emit them as a
+                # chained-P tail in display order, then the IDR
+                for d in range(prev + 1, a):
+                    plan.append((d, "P", d - 1, None))
+                plan.append((a, "I", None, None))
+            else:
+                plan.append((a, "P", prev, None))
+                fill_gap(prev, a, plan)
+            prev = a
+
+        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
+               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        self.recons = [None] * nfr
+        stats = [None] * nfr
+        fn = 0
+        idr_count = 0
+        disp_base = 0
+        fn_of = {}                     # display idx -> frame_num (refs)
+        last_ref_fn = 0
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        max_fn = 1 << self.sps.log2_max_frame_num
+        for disp, kind, r0, r1 in plan:
+            t0 = time.monotonic()
+            y, u, v = frames[disp]
+            if kind == "I":
+                disp_base = disp
+                poc = 0
+                nalus, recon = self.encode_intra_frame(
+                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2,
+                    poc_lsb=0)
+                idr_count += 1
+                fn_of[disp] = 0
+                last_ref_fn = 0
+                fn = 1
+            elif kind == "P":
+                poc = (2 * (disp - disp_base)) % max_lsb
+                reorder = ()
+                if hier and fn_of.get(r0) is not None \
+                        and last_ref_fn != fn_of[r0]:
+                    # point list0[0] back at the previous anchor
+                    diff = (fn - fn_of[r0]) % max_fn
+                    reorder = ((0, diff - 1),)
+                nalus, recon = self.encode_p_frame(
+                    y, u, v, self.recons[r0], frame_num=fn, poc_lsb=poc,
+                    reorder_l0=reorder)
+                fn_of[disp] = fn
+                last_ref_fn = fn
+                fn = (fn + 1) % max_fn
+            else:
+                poc = (2 * (disp - disp_base)) % max_lsb
+                is_ref = kind == "Bref"
+                nalus, recon = self.encode_b_frame(
+                    y, u, v, self.recons[r0], self.recons[r1],
+                    frame_num=fn, poc_lsb=poc, is_ref=is_ref)
+                if is_ref:
+                    fn_of[disp] = fn
+                    last_ref_fn = fn
+                    fn = (fn + 1) % max_fn
+            out.extend(nalus)
+            self.recons[disp] = recon
+            bits = sum(8 * len(b) for b in nalus)
+            st = np.asarray(self._sse3(self._dev_orig[0], self._dev_orig[1],
+                                       self._dev_orig[2], *recon))
+            ps = tuple(
+                99.99 if s == 0 else
+                10 * np.log10(255.0 ** 2 * npx / float(s))
+                for s, npx in zip(st[:3], (y.size, u.size, v.size)))
+            stats[disp] = FrameStats(
+                disp, "IDR" if kind == "I" else kind, bits,
+                ps[0], ps[1], ps[2], time.monotonic() - t0)
+        self.stats.extend(s for s in stats if s is not None)
+        return b"".join(out)
+
+    def encode_b_frame(self, y, u, v, ref0, ref1, frame_num: int,
+                       poc_lsb: int, qp: int | None = None,
+                       is_ref: bool = False):
+        """Encode one non-reference B frame against (past, future) recon
+        refs.  Deblocking is signalled off (idc 1) on B slices until the
+        B-aware bS derivation lands — standard-legal per-slice choice."""
+        cfg = self.cfg
+        if qp is None:
+            qp = cfg.qp_inter
+        yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+        self._dev_orig = (yd, ud, vd)
+        dev_out, ys = self._encode_b(yd, ud, vd,
+                                     ref0[0], ref0[1], ref0[2],
+                                     ref1[0], ref1[1], ref1[2],
+                                     np.int32(qp))
+        rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
+
+        def hdr_sink(s):
+            hdr = SliceHeader(
+                first_mb_in_slice=s * rows_per_slice * cfg.width_mbs,
+                slice_type=SLICE_B,
+                frame_num=frame_num,
+                slice_qp=qp,
+                pic_order_cnt_lsb=poc_lsb,
+                disable_deblocking_filter_idc=1,
+                is_idr=False,
+                nal_ref_idc=2 if is_ref else 0,
+            )
+            return hdr.write_rbsp_head(self.sps, self.pps)
+
+        if self.cabac:
+            raise NotImplementedError("CABAC B slices")
+        mbd = reorder_wave_outputs_j(self.sched, ys)
+        words, nbits = self._ser_b(mbd)
+        nbits_np = np.asarray(nbits)
+        words_np = _bucketed_words(words, nbits_np)
+        nalus = []
+        for s in range(cfg.slices_per_frame):
+            nb = int(nbits_np[s])
+            wslice = words_np[s, : (nb + 31) // 32]
+            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
+            nalus.append(nal.make_nalu(2 if is_ref else 0,
+                                       nal.NAL_SLICE, rbsp))
+        recon = (dev_out["recon_y"].astype(jnp.uint8),
+                 dev_out["recon_u"].astype(jnp.uint8),
+                 dev_out["recon_v"].astype(jnp.uint8))
+        return nalus, recon
+
     def encode_intra_frame(self, y, u, v, frame_num: int = 0,
-                           idr_pic_id: int = 0, qp: int | None = None):
+                           idr_pic_id: int = 0, qp: int | None = None,
+                           poc_lsb: int = 0):
         """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV))."""
         cfg = self.cfg
         if qp is None:
@@ -382,6 +576,7 @@ class Encoder:
                 frame_num=frame_num,
                 idr_pic_id=idr_pic_id,
                 slice_qp=qp,
+                pic_order_cnt_lsb=poc_lsb,
                 disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=True,
             )
@@ -409,9 +604,10 @@ class Encoder:
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits = self._ser_i(mbd)
         nbits_np = np.asarray(nbits)
+        words_np = _bucketed_words(words, nbits_np)
         for s in range(cfg.slices_per_frame):
             nb = int(nbits_np[s])
-            wslice = np.asarray(words[s, : (nb + 31) // 32])
+            wslice = words_np[s, : (nb + 31) // 32]
             rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
             nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
         if cfg.deblock:
@@ -423,7 +619,8 @@ class Encoder:
         return nalus, recon
 
     def encode_p_frame(self, y, u, v, ref, frame_num: int,
-                       qp: int | None = None):
+                       qp: int | None = None, poc_lsb: int = 0,
+                       reorder_l0: tuple = ()):
         """Encode one P frame against `ref` = (y, u, v) recon planes."""
         cfg = self.cfg
         if qp is None:
@@ -441,9 +638,11 @@ class Encoder:
                 slice_type=SLICE_P,
                 frame_num=frame_num,
                 slice_qp=qp,
+                pic_order_cnt_lsb=poc_lsb,
                 disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=False,
                 nal_ref_idc=2,
+                reorder_l0=reorder_l0,
             )
             return hdr.write_rbsp_head(self.sps, self.pps)
 
@@ -473,13 +672,14 @@ class Encoder:
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits, skipped_d = self._ser_p(mbd)
         nbits_np = np.asarray(nbits)
+        words_np = _bucketed_words(words, nbits_np)
         skipped = np.asarray(skipped_d)
         for s in range(cfg.slices_per_frame):
             first_mb = s * rows_per_slice * cfg.width_mbs
             last_mb = first_mb + rows_per_slice * cfg.width_mbs
             tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
             nb = int(nbits_np[s])
-            wslice = np.asarray(words[s, : (nb + 31) // 32])
+            wslice = words_np[s, : (nb + 31) // 32]
             rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s),
                                             final_skip_run=tail)
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
@@ -493,6 +693,20 @@ class Encoder:
                      dev_out["recon_u"].astype(jnp.uint8),
                      dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
+
+
+def _bucketed_words(words, nbits_np) -> np.ndarray:
+    """Device->host transfer of packed slice words, truncated to the
+    next power-of-two word count that covers every slice (last axis).
+    Data-dependent exact slices would compile one XLA slice program per
+    distinct stream length; pow2 buckets cap that at ~log2(cap)."""
+    need = (int(nbits_np.max()) + 31) // 32
+    cap = words.shape[-1]
+    bucket = 64
+    while bucket < need:
+        bucket *= 2
+    bucket = min(bucket, cap)
+    return np.asarray(words[..., :bucket])
 
 
 def jax_to_np(tree):

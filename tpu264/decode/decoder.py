@@ -16,7 +16,7 @@ from tpu264.bits import nal
 from tpu264.bits.bitreader import BitReader
 from tpu264.bits.expgolomb import read_se, read_ue
 from tpu264.bits.params import PPS, SPS
-from tpu264.bits.slicehdr import SLICE_I, SLICE_P, SliceHeader
+from tpu264.bits.slicehdr import SLICE_B, SLICE_I, SLICE_P, SliceHeader
 from tpu264.coding import mvpred
 from tpu264.coding.wavefront import BLK_ORDER, TR_UNAVAIL_IN_MB
 from tpu264.entropy import cavlc, mb_syntax
@@ -25,6 +25,38 @@ from tpu264.ref import intra as ri
 from tpu264.ref import transform as rt
 
 REF_PAD = 24
+
+
+class RefPic:
+    """One DPB entry: reconstructed planes + interpolation pads on demand
+    (JM `mbuffer.c` StorablePicture — SURVEY.md §2a #8)."""
+
+    def __init__(self, y, u, v, frame_num: int, poc: int):
+        self.y, self.u, self.v = y, u, v
+        self.frame_num = frame_num
+        self.poc = poc
+        self._planes = None
+        self._u_pad = None
+        self._v_pad = None
+
+    @property
+    def planes(self):
+        if self._planes is None:
+            g_pad = rip.pad_plane(self.y, REF_PAD)
+            self._planes = (g_pad,) + rip.half_pel_planes(g_pad)
+        return self._planes
+
+    @property
+    def u_pad(self):
+        if self._u_pad is None:
+            self._u_pad = rip.pad_plane(self.u, REF_PAD // 2)
+        return self._u_pad
+
+    @property
+    def v_pad(self):
+        if self._v_pad is None:
+            self._v_pad = rip.pad_plane(self.v, REF_PAD // 2)
+        return self._v_pad
 
 
 class PictureState:
@@ -44,12 +76,19 @@ class PictureState:
         self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
         self.deblock_idc = None    # uniform across the picture's slices
         self.qp = None
-        # per-MB motion state (qpel; ref: -2 unavail/undecoded, -1 intra,
-        # 0 inter-ref0)
+        # per-MB motion state (qpel; ref: -2 unavail/undecoded, -1 intra
+        # or not-using-this-list, >=0 inter ref idx); mv/ref are list 0,
+        # mv1/ref1 list 1 (B slices)
         self.mv = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
         self.ref = np.full((self.hm, self.wm), mvpred.UNAVAIL, dtype=np.int64)
+        self.mv1 = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
+        self.ref1 = np.full((self.hm, self.wm), mvpred.UNAVAIL,
+                            dtype=np.int64)
         self.n_decoded = 0
         self.cabac_state = None
+        self.poc = 0
+        self.frame_num = 0
+        self.is_ref = True
 
 
 class Decoder:
@@ -57,13 +96,19 @@ class Decoder:
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._out: list[tuple[int, int, int, tuple]] = []  # epoch, poc, seq
         self._pic: PictureState | None = None
         self._slice_counter = 0
-        # single-reference DPB (sliding window, num_ref_frames=1 for now):
-        # padded luma half-pel planes + padded chroma of the last ref pic
-        self._ref_planes = None
-        self._ref_u_pad = None
-        self._ref_v_pad = None
+        # DPB: short-term reference pictures in decode order (sliding
+        # window marking, spec 8.2.5.3)
+        self._dpb: list[RefPic] = []
+        self._list0: list[RefPic] = []
+        self._list1: list[RefPic] = []
+        self._epoch = 0               # IDR count (POC restarts)
+        self._seq = 0                 # decode-order tiebreak for poc ties
+        # poc type 0 state (spec 8.2.1.1)
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
 
     # ------------------------------------------------------------- NAL
 
@@ -80,6 +125,8 @@ class Decoder:
             else:
                 raise NotImplementedError(f"nal_unit_type {ntype}")
         self._finish_picture()
+        self._out.sort(key=lambda t: t[:3])       # output (display) order
+        self.frames = [t[3] for t in self._out]
         return self.frames
 
     def _finish_picture(self):
@@ -89,15 +136,76 @@ class Decoder:
                 f"picture incomplete: {pic.n_decoded}/{pic.wm * pic.hm} MBs"
             if pic.deblock_idc in (0, 2):
                 self._deblock_picture(pic)
-            self.frames.append((pic.y.astype(np.uint8),
-                                pic.u.astype(np.uint8),
-                                pic.v.astype(np.uint8)))
-            # store as the reference picture (DPB size 1, sliding window)
-            g_pad = rip.pad_plane(pic.y, REF_PAD)
-            self._ref_planes = (g_pad,) + rip.half_pel_planes(g_pad)
-            self._ref_u_pad = rip.pad_plane(pic.u, REF_PAD // 2)
-            self._ref_v_pad = rip.pad_plane(pic.v, REF_PAD // 2)
+            planes = (pic.y.astype(np.uint8), pic.u.astype(np.uint8),
+                      pic.v.astype(np.uint8))
+            # poc type 2: output order == decode order (poc key = seq)
+            key = self._seq if self.sps.pic_order_cnt_type == 2 else pic.poc
+            self._out.append((self._epoch, key, self._seq, planes))
+            self._seq += 1
+            if pic.is_ref:
+                self._dpb.append(RefPic(planes[0], planes[1], planes[2],
+                                        pic.frame_num, pic.poc))
+                # sliding window: evict the oldest short-term ref
+                while len(self._dpb) > max(1, self.sps.max_num_ref_frames):
+                    self._dpb.pop(0)
         self._pic = None
+
+    # --------------------------------------------------------- POC / lists
+
+    def _compute_poc(self, hdr) -> int:
+        """PicOrderCnt for poc type 0 (spec 8.2.1.1) / type 2 (decode
+        order proxy)."""
+        if self.sps.pic_order_cnt_type != 0:
+            return 0
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        lsb = hdr.pic_order_cnt_lsb
+        if hdr.is_idr:
+            self._prev_poc_msb, self._prev_poc_lsb = 0, 0
+        if lsb < self._prev_poc_lsb and \
+                (self._prev_poc_lsb - lsb) >= max_lsb // 2:
+            msb = self._prev_poc_msb + max_lsb
+        elif lsb > self._prev_poc_lsb and \
+                (lsb - self._prev_poc_lsb) > max_lsb // 2:
+            msb = self._prev_poc_msb - max_lsb
+        else:
+            msb = self._prev_poc_msb
+        if hdr.nal_ref_idc != 0:
+            self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
+        return msb + lsb
+
+    def _build_ref_lists(self, hdr, poc: int):
+        """Default reference list construction (spec 8.2.4.2) + short-term
+        modification commands (8.2.4.3), truncated to num_ref_idx_active."""
+        if hdr.slice_type == SLICE_P:
+            # list0: descending FrameNumWrap == most recent decode order
+            l0 = list(reversed(self._dpb))
+            l1 = []
+        else:
+            past = sorted((r for r in self._dpb if r.poc <= poc),
+                          key=lambda r: -r.poc)
+            futr = sorted((r for r in self._dpb if r.poc > poc),
+                          key=lambda r: r.poc)
+            l0 = past + futr
+            l1 = futr + past
+            if len(l1) > 1 and l1 == l0:
+                l1[0], l1[1] = l1[1], l1[0]
+        max_pic = 1 << self.sps.log2_max_frame_num
+        for lst, cmds in ((l0, hdr.reorder_l0), (l1, hdr.reorder_l1)):
+            if not cmds:
+                continue
+            pred = hdr.frame_num
+            idx = 0
+            for idc, val in cmds:
+                pred = (pred - (val + 1)) % max_pic if idc == 0 \
+                    else (pred + (val + 1)) % max_pic
+                target = next(r for r in self._dpb
+                              if r.frame_num % max_pic == pred)
+                if target in lst:
+                    lst.remove(target)
+                lst.insert(idx, target)
+                idx += 1
+        self._list0 = l0[:hdr.num_ref_idx_l0_active]
+        self._list1 = l1[:hdr.num_ref_idx_l1_active]
 
     # ----------------------------------------------------------- slice
 
@@ -105,12 +213,21 @@ class Decoder:
         assert self.sps is not None and self.pps is not None
         r = BitReader(rbsp)
         hdr = SliceHeader.parse(r, self.sps, self.pps, ntype, ref_idc)
-        if hdr.slice_type not in (SLICE_I, SLICE_P):
-            raise NotImplementedError("B slice decode")
         if hdr.first_mb_in_slice == 0:
             self._finish_picture()
         if self._pic is None:
+            if hdr.is_idr:
+                self._epoch += 1
+                self._dpb.clear()
             self._pic = PictureState(self.sps)
+            self._pic.poc = self._compute_poc(hdr)
+            self._pic.frame_num = hdr.frame_num
+            self._pic.is_ref = hdr.nal_ref_idc != 0
+        if hdr.slice_type in (SLICE_P, SLICE_B):
+            self._build_ref_lists(hdr, self._pic.poc)
+        if hdr.slice_type == SLICE_B and \
+                getattr(hdr, "direct_spatial_mv_pred_flag", 0):
+            raise NotImplementedError("spatial direct")
         self._slice_counter += 1
         sid = self._slice_counter
         pic = self._pic
@@ -137,16 +254,22 @@ class Decoder:
                 if addr >= n_mbs or not r.more_rbsp_data():
                     break
         else:
-            assert self._ref_planes is not None, "P slice without reference"
+            assert self._list0, "P/B slice without reference"
+            is_b = hdr.slice_type == SLICE_B
             while addr < n_mbs and r.more_rbsp_data():
                 run = read_ue(r)
                 for _ in range(run):
+                    if is_b:
+                        raise NotImplementedError("B_Skip (direct)")
                     self._decode_mb_skip(pic, addr, sid)
                     addr += 1
                     pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
                     break
-                self._decode_mb_p(r, pic, addr, qp, sid)
+                if is_b:
+                    self._decode_mb_b(r, pic, addr, qp, sid)
+                else:
+                    self._decode_mb_p(r, pic, addr, qp, sid)
                 addr += 1
                 pic.n_decoded += 1
 
@@ -221,6 +344,7 @@ class Decoder:
             return
 
         pic.ref[mr, mc] = mvpred.INTRA
+        pic.ref1[mr, mc] = mvpred.INTRA
         if mbv["mb_type"] == 0:          # Intra_4x4
             modes = mbv["modes"]
             for idx, (by, bx) in enumerate(BLK_ORDER):
@@ -312,6 +436,7 @@ class Decoder:
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
         pic.ref[mr, mc] = mvpred.INTRA
+        pic.ref1[mr, mc] = mvpred.INTRA
         at = self._avail_mb(pic, mr, mc, -1, 0, sid)
         al = self._avail_mb(pic, mr, mc, 0, -1, sid)
         atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
@@ -578,17 +703,101 @@ class Decoder:
         pred = self._mv_pred(pic, mr, mc, sid)
         return mvpred.skip_mv_np(pred, mv_a, ref_a, mv_b, ref_b)
 
-    def _mc_recon(self, pic, mr, mc, mv):
+    def _mc_recon(self, pic, mr, mc, mv, ref: RefPic | None = None):
         """Luma + chroma MC prediction for a 16x16 MB at qpel mv."""
+        if ref is None:
+            ref = self._list0[0]
         y0, x0 = mr * 16 + REF_PAD, mc * 16 + REF_PAD
-        pred_y = rip.mc_luma_block(self._ref_planes, y0, x0,
+        pred_y = rip.mc_luma_block(ref.planes, y0, x0,
                                    int(mv[0]), int(mv[1]))
         cy0, cx0 = mr * 8 + REF_PAD // 2, mc * 8 + REF_PAD // 2
-        pred_u = rip.mc_chroma_block(self._ref_u_pad, cy0, cx0,
+        pred_u = rip.mc_chroma_block(ref.u_pad, cy0, cx0,
                                      int(mv[0]), int(mv[1]))
-        pred_v = rip.mc_chroma_block(self._ref_v_pad, cy0, cx0,
+        pred_v = rip.mc_chroma_block(ref.v_pad, cy0, cx0,
                                      int(mv[0]), int(mv[1]))
         return pred_y, pred_u, pred_v
+
+    # ------------------------------------------------------ B slices
+
+    def _mv_pred_list(self, pic, mr, mc, sid, lx: int):
+        """Median MV predictor over list-lx neighbor state (spec 8.4.1.3;
+        neighbors not using list lx act like intra: mv 0, ref -1)."""
+        mv_m = pic.mv if lx == 0 else pic.mv1
+        ref_m = pic.ref if lx == 0 else pic.ref1
+
+        def get(dr, dc_):
+            rr, cc = mr + dr, mc + dc_
+            if rr < 0 or cc < 0 or cc >= pic.wm \
+                    or pic.slice_id[rr, cc] != sid:
+                return np.zeros(2, np.int64), mvpred.UNAVAIL
+            return mv_m[rr, cc].copy(), int(ref_m[rr, cc])
+
+        mv_a, ref_a = get(0, -1)
+        mv_b, ref_b = get(-1, 0)
+        mv_c, ref_c = get(-1, 1)
+        if ref_c == mvpred.UNAVAIL:
+            mv_c, ref_c = get(-1, -1)
+        return mvpred.predict_mv_np(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+
+    def _decode_mb_b(self, r: BitReader, pic: PictureState, addr: int,
+                     qp: int, sid: int):
+        """B macroblock (16x16 L0/L1/Bi + intra; Table 7-14)."""
+        mb_type = read_ue(r)
+        if mb_type >= 23:
+            self._decode_mb_i(r, pic, addr, qp, sid, mb_type=mb_type - 23)
+            return
+        if mb_type not in (1, 2, 3):
+            raise NotImplementedError(f"B mb_type {mb_type}")
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        mvs = [None, None]
+        for lx, use in ((0, use0), (1, use1)):
+            if not use:
+                continue
+            mvd_x = read_se(r)
+            mvd_y = read_se(r)
+            pred = self._mv_pred_list(pic, mr, mc, sid, lx)
+            mvs[lx] = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+        pic.mv[mr, mc] = mvs[0] if use0 else 0
+        pic.ref[mr, mc] = 0 if use0 else mvpred.INTRA
+        pic.mv1[mr, mc] = mvs[1] if use1 else 0
+        pic.ref1[mr, mc] = 0 if use1 else mvpred.INTRA
+
+        cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp > 0:
+            qp = qp + read_se(r)
+        if use0 and use1:
+            p0 = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
+            p1 = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
+            pred_y, pred_u, pred_v = ((a + b + 1) >> 1
+                                      for a, b in zip(p0, p1))
+        elif use0:
+            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mvs[0],
+                                                    self._list0[0])
+        else:
+            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mvs[1],
+                                                    self._list1[0])
+        recon = np.zeros((16, 16), dtype=np.int64)
+        for idx, (by, bx) in enumerate(BLK_ORDER):
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            if (cbp_luma >> (idx // 4)) & 1:
+                ncv = self._nc_luma(pic, gr, gc, sid)
+                scanned = cavlc.decode_block(r, ncv, 16)
+                pic.luma_tc[gr, gc] = (scanned != 0).sum()
+            else:
+                scanned = np.zeros(16, dtype=np.int64)
+                pic.luma_tc[gr, gc] = 0
+            coeff = np.zeros(16, dtype=np.int64)
+            coeff[rt.ZIGZAG_4x4] = scanned
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                rt.residual_block_recon(coeff.reshape(4, 4), qp)
+        pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+            rt.clip1(pred_y + recon)
+        self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
+                                 (pred_u, pred_v), sid)
 
     def _decode_mb_skip(self, pic, addr: int, sid: int):
         mr, mc = addr // pic.wm, addr % pic.wm

@@ -517,6 +517,80 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1), skipped
 
 
+HDR_SLOTS_B = 25
+MB_SLOTS_B = HDR_SLOTS_B + 27 * SLOTS_PER_BLOCK
+
+
+def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
+    """B-frame element grids (16x16 L0/L1/Bi + intra, no skip/direct).
+
+    `mb` carries btype (0=L0, 1=L1, 2=Bi, >=3 intra), mv0, mv1 plus the
+    shared intra/residual fields.  Bitstream order mirrors
+    decode.decoder._decode_mb_b.  Returns (values, lengths).
+    """
+    n = wm * hm
+    btype = mb["btype"].astype(jnp.int32)
+    is_inter = btype < 3
+    use0 = (btype == 0) | (btype == 2)
+    use1 = (btype == 1) | (btype == 2)
+    sel16 = mb["sel16"].astype(bool) & ~is_inter
+    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
+    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
+    luma_ac = mb["luma_ac"].astype(jnp.int32)
+    cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
+        sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
+
+    # mb_skip_run: always 0 (ue(0) = '1')
+    vals[0] = jnp.ones(n, jnp.int32)
+    lens[0] = jnp.ones(n, jnp.int32)
+
+    mbt_intra = 23 + jnp.where(sel16,
+                               1 + mb["i16mode"].astype(jnp.int32)
+                               + 4 * cbp_chroma + 12 * (cbp_luma > 0), 0)
+    mbt = jnp.where(is_inter, btype + 1, mbt_intra)
+    tc_, tl_ = ue_code_j(mbt)
+    vals[1] = tc_.astype(jnp.int32)
+    lens[1] = tl_
+
+    is_i4 = ~is_inter & ~sel16
+    _i4_mode_slots_j(vals, lens, 2, mb, is_i4, wm, hm, slice_rows)
+
+    cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
+    vals[18] = jnp.where(~is_inter, cmc.astype(jnp.int32), 0)
+    lens[18] = jnp.where(~is_inter, cml, 0)
+
+    # per-list mvd (x then y), predictors from final per-list maps
+    for lx, (mv_key, use, slot0) in enumerate(
+            (("mv0", use0, 19), ("mv1", use1, 21))):
+        mv = mb[mv_key].astype(jnp.int32)
+        mv_map = jnp.where(use[:, None], mv, 0).reshape(hm, wm, 2)
+        ref_map = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
+            .astype(jnp.int32)
+        nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
+        mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"],
+                                        nb["mv_b"], nb["ref_b"],
+                                        nb["mv_c"], nb["ref_c"])
+        mvd = mv - mv_pred
+        for k, comp in ((slot0, 1), (slot0 + 1, 0)):
+            code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
+            vals[k] = jnp.where(use, code.astype(jnp.int32), 0)
+            lens[k] = jnp.where(use, ln, 0)
+
+    ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
+    cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
+    vals[23] = jnp.where(is_inter, cp.astype(jnp.int32),
+                         jnp.where(is_i4, ci.astype(jnp.int32), 0))
+    lens[23] = jnp.where(is_inter, lp_, jnp.where(is_i4, li_, 0))
+
+    has_delta = sel16 | (cbp > 0)
+    vals[24] = jnp.where(has_delta, 1, 0)
+    lens[24] = jnp.where(has_delta, 1, 0)
+
+    _residual_slots_j(vals, lens, HDR_SLOTS_B, mb, sel16, cbp_luma,
+                      cbp_chroma, wm, hm, slice_rows)
+    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1)
+
+
 # ---------------------------------------------------------------- packing
 
 def pack_slices_j(values, lengths, n_slices: int, cap_words: int):
