@@ -58,6 +58,10 @@ class BitReader:
     def byte_aligned(self) -> bool:
         return self.pos % 8 == 0
 
+    def align_byte(self) -> None:
+        """Skip pcm_alignment_zero_bit padding (spec 7.3.5 I_PCM)."""
+        self.pos += (-self.pos) % 8
+
     def more_rbsp_data(self) -> bool:
         """True if data remains before rbsp_stop_one_bit (spec 7.2)."""
         if self.pos >= self.bits.size:

@@ -42,10 +42,14 @@ def mvd_bits(mvd):
 
 
 def make_inter_encoder(sched: WaveSchedule,
-                       chroma_qp_offset: int = 0, search_range: int = 16):
+                       chroma_qp_offset: int = 0, search_range: int = 16,
+                       ref_prepadded: bool = False):
     """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
 
-    qp is a traced scalar (rate control varies it per frame)."""
+    qp is a traced scalar (rate control varies it per frame).
+    `ref_prepadded`: ref planes arrive already PAD-extended (the tiled
+    path supplies real ppermute'd halo rows from neighbor tiles instead
+    of edge replication — SURVEY.md §2c ref-pixel collectives)."""
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
     cqp_off = chroma_qp_offset
@@ -196,10 +200,15 @@ def make_inter_encoder(sched: WaveSchedule,
         qp = jnp.asarray(qp, jnp.int32)
         cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
         lam4, lam24, lam_me = lambda_terms_j(qp)
-        ref_pad = kint.pad_plane(ref_y.astype(jnp.int32), PAD)
+        if ref_prepadded:
+            ref_pad = ref_y.astype(jnp.int32)
+            cu_pad = ref_u.astype(jnp.int32)
+            cv_pad = ref_v.astype(jnp.int32)
+        else:
+            ref_pad = kint.pad_plane(ref_y.astype(jnp.int32), PAD)
+            cu_pad = kint.pad_plane(ref_u.astype(jnp.int32), PAD // 2)
+            cv_pad = kint.pad_plane(ref_v.astype(jnp.int32), PAD // 2)
         planes = kint.luma_planes(ref_pad)
-        cu_pad = kint.pad_plane(ref_u.astype(jnp.int32), PAD // 2)
-        cv_pad = kint.pad_plane(ref_v.astype(jnp.int32), PAD // 2)
 
         # ---- phase 1: parallel full-search + subpel for every MB ----
         mv_int, _ = kme.full_search_16x16(y, ref_pad, PAD, rng, lam_me, wm, hm)

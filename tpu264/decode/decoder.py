@@ -76,19 +76,26 @@ class PictureState:
         self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
         self.deblock_idc = None    # uniform across the picture's slices
         self.qp = None
-        # per-MB motion state (qpel; ref: -2 unavail/undecoded, -1 intra
-        # or not-using-this-list, >=0 inter ref idx); mv/ref are list 0,
-        # mv1/ref1 list 1 (B slices)
-        self.mv = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
-        self.ref = np.full((self.hm, self.wm), mvpred.UNAVAIL, dtype=np.int64)
-        self.mv1 = np.zeros((self.hm, self.wm, 2), dtype=np.int64)
-        self.ref1 = np.full((self.hm, self.wm), mvpred.UNAVAIL,
+        # per-4x4-block motion state (qpel; ref: -2 unavail/undecoded,
+        # -1 intra or not-using-this-list, >=0 inter ref idx); axis 0 is
+        # the reference list (JM mv_info — SURVEY.md §2a #12)
+        self.mv4 = np.zeros((2, self.hm * 4, self.wm * 4, 2),
+                            dtype=np.int64)
+        self.ref4 = np.full((2, self.hm * 4, self.wm * 4), mvpred.UNAVAIL,
                             dtype=np.int64)
         self.n_decoded = 0
         self.cabac_state = None
         self.poc = 0
         self.frame_num = 0
         self.is_ref = True
+
+    def set_motion(self, lx, g4r, g4c, h4b, w4b, mv, ref):
+        self.mv4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = mv
+        self.ref4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = ref
+
+    def set_intra_mb(self, mr, mc):
+        self.mv4[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        self.ref4[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = mvpred.INTRA
 
 
 class Decoder:
@@ -327,8 +334,8 @@ class Decoder:
             mvd_y, mvd_x = mbv["mvd"]
             pred = self._mv_pred(pic, mr, mc, sid)
             mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-            pic.mv[mr, mc] = mv
-            pic.ref[mr, mc] = 0
+            pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0)
+            pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
             pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
             recon = np.zeros((16, 16), dtype=np.int64)
             for idx, (by, bx) in enumerate(BLK_ORDER):
@@ -343,8 +350,7 @@ class Decoder:
             self._recon_chroma_vals(pic, mr, mc, qp, mbv, (pred_u, pred_v))
             return
 
-        pic.ref[mr, mc] = mvpred.INTRA
-        pic.ref1[mr, mc] = mvpred.INTRA
+        pic.set_intra_mb(mr, mc)
         if mbv["mb_type"] == 0:          # Intra_4x4
             modes = mbv["modes"]
             for idx, (by, bx) in enumerate(BLK_ORDER):
@@ -435,8 +441,7 @@ class Decoder:
                      qp: int, sid: int, mb_type: int | None = None):
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
-        pic.ref[mr, mc] = mvpred.INTRA
-        pic.ref1[mr, mc] = mvpred.INTRA
+        pic.set_intra_mb(mr, mc)
         at = self._avail_mb(pic, mr, mc, -1, 0, sid)
         al = self._avail_mb(pic, mr, mc, 0, -1, sid)
         atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
@@ -444,8 +449,19 @@ class Decoder:
 
         if mb_type is None:
             mb_type = read_ue(r)
-        if mb_type == 25:
-            raise NotImplementedError("I_PCM")
+        if mb_type == 25:              # I_PCM (spec 7.3.5, 8.3.5)
+            r.align_byte()
+            y0, x0 = mr * 16, mc * 16
+            pic.y[y0:y0 + 16, x0:x0 + 16] = np.array(
+                [r.read(8) for _ in range(256)]).reshape(16, 16)
+            c0r, c0c = mr * 8, mc * 8
+            for plane in (pic.u, pic.v):
+                plane[c0r:c0r + 8, c0c:c0c + 8] = np.array(
+                    [r.read(8) for _ in range(64)]).reshape(8, 8)
+            # nC counts as 16 for neighbor derivation (spec 9.2.1)
+            pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 16
+            pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 16
+            return
         if mb_type > 25:
             raise ValueError(f"bad I mb_type {mb_type}")
 
@@ -664,7 +680,7 @@ class Decoder:
     def _deblock_picture(self, pic: PictureState):
         """Apply the in-loop filter to a completed picture (spec 8.7)."""
         from tpu264.ref import deblock as rdb
-        intra_mb = pic.ref == mvpred.INTRA
+        intra_mb = pic.ref4[0, ::4, ::4] == mvpred.INTRA
         left_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
         top_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
         left_ok[:, 1:] = True
@@ -675,31 +691,61 @@ class Decoder:
         cqp = rt.chroma_qp(pic.qp, self.pps.chroma_qp_index_offset)
         y, u, v = rdb.deblock_frame(
             pic.y, pic.u, pic.v, pic.qp, cqp, intra_mb, pic.luma_tc,
-            pic.mv, pic.ref, left_ok, top_ok)
+            pic.mv4[0], pic.ref4[0], left_ok, top_ok)
         pic.y, pic.u, pic.v = y, u, v
 
     # ------------------------------------------------------ P slices
 
-    def _mv_context(self, pic, mr, mc, sid):
-        def get(dr, dc_):
-            rr, cc = mr + dr, mc + dc_
-            if rr < 0 or cc < 0 or cc >= pic.wm or pic.slice_id[rr, cc] != sid:
-                return np.zeros(2, np.int64), mvpred.UNAVAIL
-            return pic.mv[rr, cc].copy(), int(pic.ref[rr, cc])
-        mv_a, ref_a = get(0, -1)
-        mv_b, ref_b = get(-1, 0)
-        mv_c, ref_c = get(-1, 1)
+    def _get4(self, pic, lx, rr, cc, sid):
+        """list-lx motion of the 4x4 block at (rr, cc), availability-
+        checked (outside frame / other slice -> UNAVAIL)."""
+        if rr < 0 or cc < 0 or cc >= pic.wm * 4 \
+                or pic.slice_id[rr // 4, cc // 4] != sid:
+            return np.zeros(2, np.int64), mvpred.UNAVAIL
+        return pic.mv4[lx, rr, cc].copy(), int(pic.ref4[lx, rr, cc])
+
+    def _mv_neighbors(self, pic, lx, g4r, g4c, w4b, sid):
+        """(A, B, C) neighbor motion for a partition with top-left 4x4
+        block (g4r, g4c) spanning w4b block columns (C -> D subst)."""
+        mv_a, ref_a = self._get4(pic, lx, g4r, g4c - 1, sid)
+        mv_b, ref_b = self._get4(pic, lx, g4r - 1, g4c, sid)
+        mv_c, ref_c = self._get4(pic, lx, g4r - 1, g4c + w4b, sid)
         if ref_c == mvpred.UNAVAIL:
-            mv_c, ref_c = get(-1, -1)
+            mv_c, ref_c = self._get4(pic, lx, g4r - 1, g4c - 1, sid)
         return (mv_a, ref_a), (mv_b, ref_b), (mv_c, ref_c)
 
-    def _mv_pred(self, pic, mr, mc, sid):
-        (mv_a, ref_a), (mv_b, ref_b), (mv_c, ref_c) = self._mv_context(
-            pic, mr, mc, sid)
-        return mvpred.predict_mv_np(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+    def _mv_pred_part(self, pic, lx, cur_ref, g4r, g4c, h4b, w4b, sid):
+        """Partition MV predictor (spec 8.4.1.3): median with same-ref
+        directional shortcuts for 16x8 / 8x16 partitions."""
+        (mv_a, ref_a), (mv_b, ref_b), (mv_c, ref_c) = self._mv_neighbors(
+            pic, lx, g4r, g4c, w4b, sid)
+        if w4b == 4 and h4b == 2:            # 16x8
+            if g4r % 4 == 0 and ref_b == cur_ref:
+                return mv_b
+            if g4r % 4 == 2 and ref_a == cur_ref:
+                return mv_a
+        elif w4b == 2 and h4b == 4:          # 8x16
+            if g4c % 4 == 0 and ref_a == cur_ref:
+                return mv_a
+            if g4c % 4 == 2 and ref_c == cur_ref:
+                return mv_c
+        if ref_b == mvpred.UNAVAIL and ref_c == mvpred.UNAVAIL \
+                and ref_a != mvpred.UNAVAIL:
+            return mv_a
+        same = [ref_a == cur_ref, ref_b == cur_ref, ref_c == cur_ref]
+        if sum(same) == 1:
+            return (mv_a, mv_b, mv_c)[same.index(True)]
+        return np.stack([
+            np.median([mv_a[0], mv_b[0], mv_c[0]]),
+            np.median([mv_a[1], mv_b[1], mv_c[1]])]).astype(np.int64)
+
+    def _mv_pred(self, pic, mr, mc, sid, lx=0, cur_ref=0):
+        return self._mv_pred_part(pic, lx, cur_ref, mr * 4, mc * 4, 4, 4,
+                                  sid)
 
     def _skip_mv(self, pic, mr, mc, sid):
-        (mv_a, ref_a), (mv_b, ref_b), _ = self._mv_context(pic, mr, mc, sid)
+        (mv_a, ref_a), (mv_b, ref_b), _ = self._mv_neighbors(
+            pic, 0, mr * 4, mc * 4, 4, sid)
         pred = self._mv_pred(pic, mr, mc, sid)
         return mvpred.skip_mv_np(pred, mv_a, ref_a, mv_b, ref_b)
 
@@ -720,24 +766,9 @@ class Decoder:
     # ------------------------------------------------------ B slices
 
     def _mv_pred_list(self, pic, mr, mc, sid, lx: int):
-        """Median MV predictor over list-lx neighbor state (spec 8.4.1.3;
-        neighbors not using list lx act like intra: mv 0, ref -1)."""
-        mv_m = pic.mv if lx == 0 else pic.mv1
-        ref_m = pic.ref if lx == 0 else pic.ref1
-
-        def get(dr, dc_):
-            rr, cc = mr + dr, mc + dc_
-            if rr < 0 or cc < 0 or cc >= pic.wm \
-                    or pic.slice_id[rr, cc] != sid:
-                return np.zeros(2, np.int64), mvpred.UNAVAIL
-            return mv_m[rr, cc].copy(), int(ref_m[rr, cc])
-
-        mv_a, ref_a = get(0, -1)
-        mv_b, ref_b = get(-1, 0)
-        mv_c, ref_c = get(-1, 1)
-        if ref_c == mvpred.UNAVAIL:
-            mv_c, ref_c = get(-1, -1)
-        return mvpred.predict_mv_np(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+        """16x16 median MV predictor over list-lx neighbor state
+        (spec 8.4.1.3; neighbors not using list lx: mv 0, ref -1)."""
+        return self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4, 4, 4, sid)
 
     def _decode_mb_b(self, r: BitReader, pic: PictureState, addr: int,
                      qp: int, sid: int):
@@ -760,10 +791,12 @@ class Decoder:
             mvd_y = read_se(r)
             pred = self._mv_pred_list(pic, mr, mc, sid, lx)
             mvs[lx] = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-        pic.mv[mr, mc] = mvs[0] if use0 else 0
-        pic.ref[mr, mc] = 0 if use0 else mvpred.INTRA
-        pic.mv1[mr, mc] = mvs[1] if use1 else 0
-        pic.ref1[mr, mc] = 0 if use1 else mvpred.INTRA
+        pic.set_motion(0, mr * 4, mc * 4, 4, 4,
+                       mvs[0] if use0 else 0,
+                       0 if use0 else mvpred.INTRA)
+        pic.set_motion(1, mr * 4, mc * 4, 4, 4,
+                       mvs[1] if use1 else 0,
+                       0 if use1 else mvpred.INTRA)
 
         cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -803,8 +836,8 @@ class Decoder:
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
         mv = self._skip_mv(pic, mr, mc, sid)
-        pic.mv[mr, mc] = mv
-        pic.ref[mr, mc] = 0
+        pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0)
+        pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
         pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = pred_y
         pic.u[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_u
@@ -812,28 +845,100 @@ class Decoder:
         pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
         pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 0
 
+    def _read_te(self, r: BitReader, cmax: int) -> int:
+        """te(v): 1-bit inverted flag when cmax == 1, ue(v) otherwise."""
+        if cmax == 0:
+            return 0
+        if cmax == 1:
+            return 1 - r.read(1)
+        return read_ue(r)
+
+    def _mc_part(self, pic, y0, x0, bh, bw, mv, ref: RefPic):
+        """Luma + chroma MC for an arbitrary partition at luma (y0, x0)."""
+        py = rip.mc_luma_block(ref.planes, y0 + REF_PAD, x0 + REF_PAD,
+                               int(mv[0]), int(mv[1]), bh, bw)
+        pu = rip.mc_chroma_block(ref.u_pad, y0 // 2 + REF_PAD // 2,
+                                 x0 // 2 + REF_PAD // 2,
+                                 int(mv[0]), int(mv[1]), bh // 2, bw // 2)
+        pv = rip.mc_chroma_block(ref.v_pad, y0 // 2 + REF_PAD // 2,
+                                 x0 // 2 + REF_PAD // 2,
+                                 int(mv[0]), int(mv[1]), bh // 2, bw // 2)
+        return py, pu, pv
+
+    # P partition geometry: mb_type -> list of (dr4, dc4, h4b, w4b)
+    _P_PARTS = {
+        0: [(0, 0, 4, 4)],
+        1: [(0, 0, 2, 4), (2, 0, 2, 4)],          # 16x8 top, bottom
+        2: [(0, 0, 4, 2), (0, 2, 4, 2)],          # 8x16 left, right
+    }
+    # sub_mb_type -> list of (dr4, dc4, h4b, w4b) within the 8x8
+    _SUB_PARTS = {
+        0: [(0, 0, 2, 2)],
+        1: [(0, 0, 1, 2), (1, 0, 1, 2)],          # 8x4
+        2: [(0, 0, 2, 1), (0, 1, 2, 1)],          # 4x8
+        3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],
+    }
+
     def _decode_mb_p(self, r: BitReader, pic: PictureState, addr: int,
                      qp: int, sid: int):
         mb_type = read_ue(r)
         if mb_type >= 5:
             self._decode_mb_i(r, pic, addr, qp, sid, mb_type=mb_type - 5)
             return
-        if mb_type != 0:
-            raise NotImplementedError(f"P mb_type {mb_type} (partitions)")
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
-        # 16x16, single reference: no ref_idx (te() absent for 1 ref pic)
-        mvd_x = read_se(r)
-        mvd_y = read_se(r)
-        pred = self._mv_pred(pic, mr, mc, sid)
-        mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-        pic.mv[mr, mc] = mv
-        pic.ref[mr, mc] = 0
+        g4r, g4c = mr * 4, mc * 4
+        nref = len(self._list0)
+        pic.set_motion(1, g4r, g4c, 4, 4, 0, mvpred.INTRA)
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+
+        def mc_into(dr4, dc4, h4b, w4b, mv, ref_idx):
+            py, pu, pv = self._mc_part(
+                pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4,
+                h4b * 4, w4b * 4, mv, self._list0[ref_idx])
+            pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
+            pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
+            pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
+
+        if mb_type in (0, 1, 2):
+            parts = self._P_PARTS[mb_type]
+            refs = [self._read_te(r, nref - 1) for _ in parts]
+            for (dr4, dc4, h4b, w4b), ref_idx in zip(parts, refs):
+                mvd_x = read_se(r)
+                mvd_y = read_se(r)
+                pred = self._mv_pred_part(pic, 0, ref_idx, g4r + dr4,
+                                          g4c + dc4, h4b, w4b, sid)
+                mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                pic.set_motion(0, g4r + dr4, g4c + dc4, h4b, w4b, mv,
+                               ref_idx)
+                mc_into(dr4, dc4, h4b, w4b, mv, ref_idx)
+        else:                          # 3 / 4: P_8x8 / P_8x8ref0
+            subs = [read_ue(r) for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError(f"bad sub_mb_type {subs}")
+            if mb_type == 3:
+                refs = [self._read_te(r, nref - 1) for _ in range(4)]
+            else:
+                refs = [0, 0, 0, 0]
+            for b8 in range(4):
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                for dr4, dc4, h4b, w4b in self._SUB_PARTS[subs[b8]]:
+                    mvd_x = read_se(r)
+                    mvd_y = read_se(r)
+                    pred = self._mv_pred_part(
+                        pic, 0, refs[b8], g4r + br4 + dr4,
+                        g4c + bc4 + dc4, h4b, w4b, sid)
+                    mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                    pic.set_motion(0, g4r + br4 + dr4, g4c + bc4 + dc4,
+                                   h4b, w4b, mv, refs[b8])
+                    mc_into(br4 + dr4, bc4 + dc4, h4b, w4b, mv, refs[b8])
+
         cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp > 0:
             qp = qp + read_se(r)
-        pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
         # luma residual (16-coeff blocks, inter)
         recon = np.zeros((16, 16), dtype=np.int64)
         for idx, (by, bx) in enumerate(BLK_ORDER):

@@ -123,8 +123,13 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm):
     """
     h4, w4 = hm * 4, wm * 4
     intra4 = np.repeat(np.repeat(intra_mb, 4, axis=0), 4, axis=1)
-    mv4 = np.repeat(np.repeat(mv, 4, axis=0), 4, axis=1)
-    ref4 = np.repeat(np.repeat(ref, 4, axis=0), 4, axis=1)
+    # mv/ref may come MB-granular [hm, wm] or per-4x4 [h4, w4]
+    if np.asarray(mv).shape[0] == hm:
+        mv4 = np.repeat(np.repeat(mv, 4, axis=0), 4, axis=1)
+        ref4 = np.repeat(np.repeat(ref, 4, axis=0), 4, axis=1)
+    else:
+        mv4 = np.asarray(mv)
+        ref4 = np.asarray(ref)
 
     def edge_bs(p_sl, q_sl, mb_edge):
         either_intra = intra4[p_sl] | intra4[q_sl]
