@@ -62,6 +62,24 @@ def test_hierarchical_qp_sweep_multislice():
     _roundtrip(nb=2, qp=40, slices=1, nfr=7)
 
 
+def test_cabac_b_hierarchical():
+    """CABAC B slices (mb_type Table 9-37, per-list mvd ctx) — validated
+    against libavcodec only (no per-bin host twin for B)."""
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                        num_b_frames=3, symbol_mode="CABAC")
+    enc = Encoder(cfg)
+    frames = [synth_frame(W, H, t) for t in range(9)]
+    stream = enc.encode_sequence(frames)
+    dec, errors = lavc_decode(stream, W, H)
+    assert not errors, errors[:2]
+    assert len(dec) == 9
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i
+        assert np.array_equal(
+            du, np.asarray(enc.recons[i][1]).astype(np.uint8)), i
+
+
 def test_closed_gop_periodic_idr():
     enc = _roundtrip(nb=2, qp=28, slices=1, nfr=10, period=2)
     assert sum(s.slice_type == "IDR" for s in enc.stats) >= 2

@@ -538,7 +538,22 @@ class Encoder:
             return hdr.write_rbsp_head(self.sps, self.pps)
 
         if self.cabac:
-            raise NotImplementedError("CABAC B slices")
+            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
+            payloads, _ = encode_frame_cabac_fast(
+                mb, cfg.width_mbs, cfg.height_mbs,
+                self.sched.slice_starts.tolist(), qp, b_slice=True)
+            nalus = []
+            for s in range(cfg.slices_per_frame):
+                sink = hdr_sink(s)
+                sink.cabac_align()
+                nalus.append(nal.make_nalu(
+                    2 if is_ref else 0, nal.NAL_SLICE,
+                    sink.to_bytes() + payloads[s]))
+            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            return nalus, recon
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits = self._ser_b(mbd)
         nbits_np = np.asarray(nbits)

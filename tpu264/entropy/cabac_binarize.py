@@ -164,16 +164,24 @@ def _residual_group(grid: RecordGrid, scanned, mc, sig_base, last_base,
 
 
 def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
-                   p_slice: bool = False):
-    """Vectorized twin of `cabac_slice.encode_frame_cabac`.
+                   p_slice: bool = False, b_slice: bool = False):
+    """Vectorized twin of `cabac_slice.encode_frame_cabac` (I/P), plus
+    the B-slice syntax (mb_type Table 9-37, per-list mvd) validated
+    directly against libavcodec.
 
     Returns (kind [n,S] int8, a [n,S] int32, b [n,S] int32,
     valid [n,S] bool, skipped [n] bool).
     """
     n = wm * hm
     sel16_raw = np.asarray(mb["sel16"]).astype(bool)
-    is_inter = (np.asarray(mb["is_inter"]).astype(bool) if p_slice
-                else np.zeros(n, bool))
+    if b_slice:
+        btype = np.asarray(mb["btype"], np.int64)
+        is_inter = btype < 3
+        use0 = (btype == 0) | (btype == 2)
+        use1 = (btype == 1) | (btype == 2)
+    else:
+        is_inter = (np.asarray(mb["is_inter"]).astype(bool) if p_slice
+                    else np.zeros(n, bool))
     sel16 = sel16_raw & ~is_inter
     luma_ac = np.asarray(mb["luma_ac"], np.int64)
     luma_dc = np.asarray(mb["luma_dc"], np.int64)
@@ -194,21 +202,35 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
             is_i4, modes[:, idx], -1)
     mpm = mb_syntax.mpm_grid(modes_grid, [int(r) * 4 for r in slice_rows])
 
-    if p_slice:
+    mvds = [np.zeros((n, 2), np.int64), np.zeros((n, 2), np.int64)]
+    uses = [np.zeros(n, bool), np.zeros(n, bool)]
+    if p_slice or b_slice:
         from tpu264.coding import mvpred
+
+        def list_mvd(mv, use):
+            mv_map = np.where(use[:, None], mv, 0).reshape(hm, wm, 2)
+            ref_map = np.where(use, 0, mvpred.INTRA).reshape(hm, wm)
+            nbm = mvpred.neighbor_mvs_np(mv_map, ref_map, wm, hm,
+                                         slice_rows)
+            pred = mvpred.predict_mv_np(nbm["mv_a"], nbm["ref_a"],
+                                        nbm["mv_b"], nbm["ref_b"],
+                                        nbm["mv_c"], nbm["ref_c"])
+            return mv - pred
+
+    if p_slice:
         mv = np.asarray(mb["mv"], np.int64)
-        mv_map = np.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
-        ref_map = np.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
-        nbm = mvpred.neighbor_mvs_np(mv_map, ref_map, wm, hm, slice_rows)
-        mv_pred = mvpred.predict_mv_np(nbm["mv_a"], nbm["ref_a"],
-                                       nbm["mv_b"], nbm["ref_b"],
-                                       nbm["mv_c"], nbm["ref_c"])
-        mvd = mv - mv_pred
+        mvds[0] = list_mvd(mv, is_inter)
+        uses[0] = is_inter
         mv_skip = np.asarray(mb["mv_skip"], np.int64)
         skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
-    else:
-        mvd = np.zeros((n, 2), np.int64)
+    elif b_slice:
+        mvds[0] = list_mvd(np.asarray(mb["mv0"], np.int64), use0)
+        mvds[1] = list_mvd(np.asarray(mb["mv1"], np.int64), use1)
+        uses = [use0, use1]
         skipped = np.zeros(n, bool)
+    else:
+        skipped = np.zeros(n, bool)
+    mvd = mvds[0]
     coded = ~skipped
     intra_cur = ~is_inter
 
@@ -219,8 +241,10 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     cbp_l_g = np.where(coded, cbp_luma, 0).reshape(hm, wm)
     cbp_c_g = np.where(coded, cbp_chroma, 0).reshape(hm, wm)
     cpm_g = np.where(is_i4 | sel16, cmode, 0).reshape(hm, wm)
-    absmvd_g = np.where((is_inter & coded)[:, None], np.abs(mvd), 0)\
-        .reshape(hm, wm, 2)
+    absmvd_gl = [
+        np.where((uses[lx] & coded)[:, None], np.abs(mvds[lx]), 0)
+        .reshape(hm, wm, 2) for lx in range(2)]
+    absmvd_g = absmvd_gl[0]
 
     av_l = np.zeros((hm, wm), bool)
     av_l[:, 1:] = True
@@ -237,18 +261,39 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
     grid = RecordGrid(n)
 
-    # ---- mb_skip_flag (P slices: every MB) ----
+    # ---- mb_skip_flag (P/B slices: every MB) ----
+    ns_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
+    ns_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
     if p_slice:
-        ns_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)
-                & av_l).astype(np.int32)
-        ns_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
-        # unavailable neighbors contribute 0 (skip fill makes != fail)
         grid.ctx_bin((11 + ns_l + ns_t).reshape(n),
                      skipped.astype(np.int32), np.ones(n, bool))
+    elif b_slice:
+        grid.ctx_bin((24 + ns_l + ns_t).reshape(n), 0, np.ones(n, bool))
 
     # ---- mb_type ----
     intra_coded = coded & intra_cur
-    if p_slice:
+    if b_slice:
+        # Table 9-37: bin0 ctx 27+inc (neighbor coded non-direct), then
+        # L0='100', L1='101' (ctx 30, 32), Bi='11'+0000 (ctx 30,31,32x3),
+        # intra prefix '11'+1101 then the I tree on ctx 32/33/34/35
+        nd_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
+        nd_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
+        inc = (nd_l + nd_t).reshape(n)
+        inter_coded = coded & is_inter
+        grid.ctx_bin(27 + inc, 1, coded)              # never B_Direct
+        one_list = inter_coded & (btype < 2)
+        grid.ctx_bin(30, ((btype == 2) | ~is_inter).astype(np.int32),
+                     coded)
+        grid.ctx_bin(32, (btype == 1).astype(np.int32), one_list)
+        tail = coded & ((btype == 2) | ~is_inter)     # 4-bin suffix
+        bits13 = np.where(is_inter, 0, 13)            # Bi -> 0, intra -> 13
+        grid.ctx_bin(31, ((bits13 >> 3) & 1).astype(np.int32), tail)
+        grid.ctx_bin(32, ((bits13 >> 2) & 1).astype(np.int32), tail)
+        grid.ctx_bin(32, ((bits13 >> 1) & 1).astype(np.int32), tail)
+        grid.ctx_bin(32, (bits13 & 1).astype(np.int32), tail)
+        first_ctx = np.full(n, 32, np.int32)
+        rest = (33, 34, 34, 35, 35)
+    elif p_slice:
         grid.ctx_bin(14, intra_cur.astype(np.int32), coded)
         inter_coded = coded & is_inter
         grid.ctx_bin(15, 0, inter_coded)      # P_L0_16x16 prefix
@@ -295,25 +340,27 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     grid.ctx_bin(67, (cmode == 3).astype(np.int32),
                  intra_coded & (cmode > 1))
 
-    # ---- mvd (P 16x16): x (comp 1, base 40) then y (comp 0, base 47) ----
-    if p_slice:
-        inter_coded = coded & is_inter
-        for comp, base in ((1, 40), (0, 47)):
-            s = (np.where(av_l, left(absmvd_g[:, :, comp]), 0)
-                 + np.where(av_t, top(absmvd_g[:, :, comp]), 0)).reshape(n)
-            inc = np.where(s < 3, 0, np.where(s <= 32, 1, 2))
-            a = np.abs(mvd[:, comp])
-            grid.ctx_bin(base + inc, (a > 0).astype(np.int32), inter_coded)
-            for k in (1, 2, 3):
-                grid.ctx_bin(base + k + 2, (a > k).astype(np.int32),
-                             inter_coded & (a >= k))
-            grid.ctx_run(base + 6, 1, np.minimum(a, 9) - 4,
-                         inter_coded & (a >= 5))
-            grid.ctx_bin(base + 6, 0, inter_coded & (a >= 4) & (a < 9))
-            _eg_suffix(grid, np.maximum(a - 9, 0), 3,
-                       inter_coded & (a >= 9))
-            grid.bypass((mvd[:, comp] < 0).astype(np.int32), 1,
-                        inter_coded & (a > 0))
+    # ---- mvd: x (comp 1, base 40) then y (comp 0, base 47), per list --
+    if p_slice or b_slice:
+        for lx in range(2 if b_slice else 1):
+            on_mv = coded & uses[lx]
+            for comp, base in ((1, 40), (0, 47)):
+                s = (np.where(av_l, left(absmvd_gl[lx][:, :, comp]), 0)
+                     + np.where(av_t, top(absmvd_gl[lx][:, :, comp]), 0))\
+                    .reshape(n)
+                inc = np.where(s < 3, 0, np.where(s <= 32, 1, 2))
+                a = np.abs(mvds[lx][:, comp])
+                grid.ctx_bin(base + inc, (a > 0).astype(np.int32), on_mv)
+                for k in (1, 2, 3):
+                    grid.ctx_bin(base + k + 2, (a > k).astype(np.int32),
+                                 on_mv & (a >= k))
+                grid.ctx_run(base + 6, 1, np.minimum(a, 9) - 4,
+                             on_mv & (a >= 5))
+                grid.ctx_bin(base + 6, 0, on_mv & (a >= 4) & (a < 9))
+                _eg_suffix(grid, np.maximum(a - 9, 0), 3,
+                           on_mv & (a >= 9))
+                grid.bypass((mvds[lx][:, comp] < 0).astype(np.int32), 1,
+                            on_mv & (a > 0))
 
     # ---- coded_block_pattern (kind != I16) ----
     on_cbp = coded & ~sel16

@@ -23,23 +23,27 @@ def _mb_grid_coords(i, wm):
 
 def encode_frame_cabac_fast(mb, wm: int, hm: int, slice_start_rows,
                             qp: int, p_slice: bool = False,
-                            init_idc: int = 0):
+                            b_slice: bool = False, init_idc: int = 0):
     """Vectorized-binarization + native-replay CABAC path.
 
     Byte-identical to `encode_frame_cabac` (tests/test_cabac.py asserts
     it); ~100x faster: binarization is numpy-vectorized over all MBs
     (cabac_binarize.py) and the serial range coder runs in C
     (cabac_core.c).  Falls back to the per-bin Python path when no C
-    compiler is available.
+    compiler is available (I/P only; B has no per-bin twin — it is
+    validated against libavcodec directly).
     """
     from . import cabac_native
     if not cabac_native.available():
+        if b_slice:
+            raise RuntimeError("CABAC B slices need the native engine")
         return encode_frame_cabac(mb, wm, hm, slice_start_rows, qp,
                                   p_slice=p_slice, init_idc=init_idc)
     from . import cabac_binarize as cb
     k, a, b, v, skipped = cb.binarize_frame(
-        mb, wm, hm, slice_start_rows, qp, p_slice=p_slice)
-    table = 1 + init_idc if p_slice else 0
+        mb, wm, hm, slice_start_rows, qp, p_slice=p_slice,
+        b_slice=b_slice)
+    table = 1 + init_idc if (p_slice or b_slice) else 0
     rows = [int(r) for r in slice_start_rows] + [hm]
     payloads = []
     for s in range(len(rows) - 1):
