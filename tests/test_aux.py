@@ -1,0 +1,100 @@
+"""Auxiliary subsystems (SURVEY.md §5): metrics JSONL, checkpoint/resume,
+bitstream fault injection (decoder robustness)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpu264.bits import nal
+from tpu264.config import EncoderConfig
+from tpu264.coding.encoder import Encoder
+from tpu264.decode.decoder import decode_annexb
+from tpu264.media.synth import synth_frame
+
+W, H = 176, 144
+
+
+def test_metrics_jsonl(tmp_path):
+    from tpu264.runtime.metrics import JsonlLogger, format_frame_line
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0)
+    enc = Encoder(cfg, gop_mode="ippp")
+    frames = [synth_frame(W, H, t) for t in range(3)]
+    enc.encode_sequence(frames)
+    path = str(tmp_path / "m.jsonl")
+    log = JsonlLogger(path)
+    for s in enc.stats:
+        rec = log.log_frame(s, qp=30)
+        assert "bits" in format_frame_line(rec)
+    trailer = log.close({"chip": "cpu"})
+    lines = [json.loads(x) for x in open(path)]
+    assert len(lines) == 4
+    assert lines[-1]["run_summary"] and lines[-1]["frames"] == 3
+    assert trailer["total_bits"] == sum(s.bits for s in enc.stats)
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    from tpu264.runtime.checkpoint import encode_gops
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=3)
+    frames = [synth_frame(W, H, t) for t in range(7)]
+
+    ref = encode_gops(Encoder(cfg, gop_mode="ippp"), frames,
+                      str(tmp_path / "full.264"))
+
+    # interrupted run: stop after the first GOP, then resume
+    out = str(tmp_path / "part.264")
+
+    class Boom(Exception):
+        pass
+
+    enc = Encoder(cfg, gop_mode="ippp")
+    orig = enc.encode_sequence
+    calls = {"n": 0}
+
+    def flaky(fr):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Boom()
+        return orig(fr)
+
+    enc.encode_sequence = flaky
+    # retry path absorbs the single failure; run completes
+    got = encode_gops(enc, frames, out, max_retries=1)
+    assert got == ref
+
+    # hard interruption: wipe trailing GOPs via a stale checkpoint
+    ck = json.load(open(out + ".ckpt"))
+    ck["done_gops"] = 1
+    first_gop_len = len(encode_gops(Encoder(cfg, gop_mode="ippp"),
+                                    frames[:3], str(tmp_path / "g0.264")))
+    ck["byte_offset"] = first_gop_len
+    json.dump(ck, open(out + ".ckpt", "w"))
+    got2 = encode_gops(Encoder(cfg, gop_mode="ippp"), frames, out)
+    assert got2 == ref
+    dec = decode_annexb(got2)
+    assert len(dec) == 7
+
+
+def test_fault_injection_decoder_robustness():
+    """Corrupted streams must fail with controlled exceptions (or decode
+    fewer frames) — never hang or crash the process."""
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0)
+    enc = Encoder(cfg, gop_mode="ippp")
+    frames = [synth_frame(W, H, t) for t in range(3)]
+    stream = enc.encode_sequence(frames)
+    rng = np.random.default_rng(0)
+    arr = np.frombuffer(stream, np.uint8).copy()
+    for trial in range(6):
+        bad = arr.copy()
+        if trial % 2 == 0:
+            bad = bad[: rng.integers(64, len(bad))]       # truncation
+        else:
+            for _ in range(4):                            # bit flips
+                pos = int(rng.integers(48, len(bad)))
+                bad[pos] ^= 1 << int(rng.integers(8))
+        try:
+            out = decode_annexb(bad.tobytes())
+            assert len(out) <= 3
+        except Exception:
+            pass   # controlled failure is acceptable; hangs are not

@@ -24,6 +24,9 @@ def main(argv=None) -> int:
                     help="Key=Value override (JM key names)")
     ap.add_argument("--synthetic", action="store_true",
                     help="use generated test content instead of InputFile")
+    ap.add_argument("--metrics", help="write per-frame JSONL metrics here")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="GOP-granular checkpoint/resume (<out>.ckpt)")
     args = ap.parse_args(argv)
 
     cfg = load_cfg(args.config) if args.config else EncoderConfig()
@@ -36,16 +39,28 @@ def main(argv=None) -> int:
         frames = list(read_yuv420(cfg.input_file, cfg.width, cfg.height,
                                   cfg.frames))
     enc = Encoder(cfg)
-    stream = enc.encode_sequence(frames)
-    with open(cfg.output_file, "wb") as f:
-        f.write(stream)
+    if args.checkpoint:
+        from tpu264.runtime.checkpoint import encode_gops
+        stream = encode_gops(enc, frames, cfg.output_file)
+    else:
+        stream = enc.encode_sequence(frames)
+        with open(cfg.output_file, "wb") as f:
+            f.write(stream)
     if cfg.recon_file:
         write_yuv420(cfg.recon_file, enc.recons)
 
+    log = None
+    if args.metrics:
+        from tpu264.runtime.metrics import JsonlLogger
+        log = JsonlLogger(args.metrics)
     for st in enc.stats:
+        if log:
+            log.log_frame(st, qp=cfg.qp)
         print(f"frame {st.frame:4d} {st.slice_type}  bits {st.bits:8d}  "
               f"snr_y {st.psnr_y:6.2f}  snr_u {st.psnr_u:6.2f}  "
               f"snr_v {st.psnr_v:6.2f}  time {st.seconds * 1000:7.1f} ms")
+    if log:
+        log.close({"config": cfg.output_file})
     total_bits = sum(s.bits for s in enc.stats)
     n = len(enc.stats)
     print(f"encoded {n} frames, {total_bits} bits, "

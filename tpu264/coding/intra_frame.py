@@ -329,11 +329,18 @@ CQP_J = jnp.asarray(
 
 
 def lambda_terms_j(qp):
-    """Traced (lam4, lam24, lam_me) from a traced/int QP scalar."""
-    lam = 0.85 * 2.0 ** ((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0)
-    lam4 = jnp.round(4 * lam).astype(jnp.int32)
-    lam24 = jnp.round(24 * lam).astype(jnp.int32)
+    """Traced (lam4, lam24, lam_me) from a traced/int QP scalar.
+
+    Costs here are SATD-domain (distortion ~ amplitude, not energy), so
+    rate terms scale with sqrt(lambda_mode) = sqrt(0.85)*2^((qp-12)/6)
+    (JM lambda_motion / x264 lambda convention).  Round 2 used the
+    SSD-domain lambda_mode directly, which over-penalized mv/mode bits
+    ~15x at high QP and collapsed motion search to the predictor."""
+    lam = jnp.sqrt(0.85) * 2.0 ** ((jnp.asarray(qp, jnp.float32) - 12.0)
+                                   / 6.0)
     lam_me = jnp.maximum(1, jnp.round(lam)).astype(jnp.int32)
+    lam4 = jnp.maximum(1, jnp.round(4 * lam)).astype(jnp.int32)
+    lam24 = jnp.maximum(1, jnp.round(24 * lam)).astype(jnp.int32)
     return lam4, lam24, lam_me
 
 
