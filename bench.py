@@ -62,6 +62,17 @@ def main() -> None:
     psnr_y = float(np.mean([s.psnr_y for s in enc.stats]))
     bitrate = sum(s.bits for s in enc.stats) / frames * 30 / 1e6
 
+    # config 3 (BASELINE.json): 720p Main, CABAC + in-loop deblocking
+    cfg3 = EncoderConfig(width=1280, height=720, qp=qp,
+                         symbol_mode="CABAC", deblock=True)
+    enc3 = Encoder(cfg3)
+    s3 = [synth_frame(1280, 720, t) for t in range(4)]
+    enc3.encode_sequence(s3[:1])          # warm the per-frame path
+    enc3.stats.clear()
+    t0 = time.monotonic()
+    enc3.encode_sequence(s3[1:])
+    fps3 = 3 / (time.monotonic() - t0)
+
     print(json.dumps({
         "metric": "1080p_intra_frames_per_sec_per_chip",
         "value": round(fps, 3),
@@ -74,6 +85,7 @@ def main() -> None:
             "resolution": f"{width}x{height}",
             "batch": batch,
             "compile_s": round(compile_s, 1),
+            "config3_720p_cabac_deblock_fps": round(fps3, 3),
             "backend": _backend_name(),
         },
     }))

@@ -24,15 +24,13 @@ def _encode(bitrate, n_frames=30, symbol_mode="CAVLC"):
 
 
 def test_hits_target_bitrate():
-    target = 300_000       # bps
-    enc, frames, stream = _encode(target)
-    total_bits = sum(s.bits for s in enc.stats)
-    achieved = total_bits / len(frames) * FPS
-    # exclude the IDR from the tolerance band (single-GOP startup cost);
-    # steady-state P frames must track the per-frame budget within 15%
-    p_bits = [s.bits for s in enc.stats[5:]]
-    p_rate = float(np.mean(p_bits)) * FPS
-    assert abs(p_rate - target) / target < 0.15, (p_rate, target, achieved)
+    for target in (150_000, 300_000):       # bps
+        enc, frames, stream = _encode(target)
+        total_bits = sum(s.bits for s in enc.stats)
+        achieved = total_bits / len(frames) * FPS
+        # sequence-level tracking gate: <=5% (VERDICT r2 task #10); the
+        # buffer feedback drains the IDR overshoot across the GOP
+        assert abs(achieved - target) / target < 0.05, (achieved, target)
 
 
 def test_qp_adapts():

@@ -538,7 +538,7 @@ class Encoder:
             return hdr.write_rbsp_head(self.sps, self.pps)
 
         if self.cabac:
-            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
             from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
             payloads, _ = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs,
@@ -599,7 +599,7 @@ class Encoder:
 
         nalus = []
         if self.cabac:
-            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
             from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
             payloads, _ = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows, qp)
@@ -663,7 +663,7 @@ class Encoder:
 
         nalus = []
         if self.cabac:
-            mb = reorder_wave_outputs(self.sched, jax_to_np(ys))
+            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
             from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
             payloads, skipped = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows,

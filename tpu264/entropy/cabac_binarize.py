@@ -37,8 +37,8 @@ K_CTX, K_BYP, K_TERM = 0, 1, 2
 
 
 class RecordGrid:
-    """Preallocated [SLOTS, n] record accumulator (rows are slots so each
-    append is a contiguous write; transposed once at the end)."""
+    """Preallocated [SLOTS, n] record accumulator (rows are slots so
+    each append is a contiguous write; consumed slot-major)."""
 
     # capacity: generous upper bound on slots per MB (asserted in stack)
     CAP = 4200
@@ -74,12 +74,11 @@ class RecordGrid:
         self.put(K_TERM, np.asarray(binv, np.int32), 0, valid)
 
     def stack(self):
+        """Slot-major [S, n] views (no copy); `slice_records` gathers the
+        valid records in coding (mb-major) order directly."""
         assert self.s <= self.CAP
         s = self.s
-        return (np.ascontiguousarray(self._k[:s].T),
-                np.ascontiguousarray(self._a[:s].T),
-                np.ascontiguousarray(self._b[:s].T),
-                np.ascontiguousarray(self._v[:s].T))
+        return self._k[:s], self._a[:s], self._b[:s], self._v[:s]
 
 
 def _eg_suffix(grid: RecordGrid, v, k0: int, valid):
@@ -518,8 +517,24 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
 
 def slice_records(k, a, b, v, wm: int, first_row: int, last_row: int):
-    """Flatten one slice's valid records in coding order."""
+    """Gather one slice's valid records in coding order (mb-major, slot-
+    minor) from the slot-major [S, n] grids — avoids transposing the
+    full ~150 MB grid (the transpose was the binarization hot spot)."""
     lo, hi = first_row * wm, last_row * wm
-    m = v[lo:hi].reshape(-1)
-    return (k[lo:hi].reshape(-1)[m], a[lo:hi].reshape(-1)[m],
-            b[lo:hi].reshape(-1)[m])
+    vsl = v[:, lo:hi]
+    s_idx, c_idx = np.nonzero(vsl)                    # slot-major order
+    # counting sort to mb-major: records of mb m land at
+    # offs[m] + (slot-major rank within column m)
+    cnt = vsl.sum(axis=0)
+    offs = np.concatenate([[0], np.cumsum(cnt[:-1])])
+    rank = np.cumsum(vsl, axis=0, dtype=np.int32)
+    pos = offs[c_idx] + rank[s_idx, c_idx] - 1
+    total = int(s_idx.size)
+    ko = np.empty(total, k.dtype)
+    ao = np.empty(total, a.dtype)
+    bo = np.empty(total, b.dtype)
+    col = lo + c_idx
+    ko[pos] = k[s_idx, col]
+    ao[pos] = a[s_idx, col]
+    bo[pos] = b[s_idx, col]
+    return ko, ao, bo

@@ -53,9 +53,12 @@ class RateController:
             qp = self.curr_qp
             self.prev_qp = qp
             return qp
-        # 1. target bits with buffer feedback (gamma = 0.75 per G012)
-        target = self.bpf - 0.75 * self.buffer / max(1, self.window)
-        target = max(target, self.bpf * 0.1)
+        # 1. target bits with buffer feedback: drain the accumulated
+        # error over ~2 frames (stronger than G012's slow gamma so the
+        # integer-QP quantization dithers between adjacent QPs and the
+        # long-run average tracks the target within a few percent)
+        target = self.bpf - self.buffer / 2.0
+        target = min(max(target, self.bpf * 0.1), self.bpf * 4.0)
         # 2. MAD prediction
         mad = max(self.a1 * self.mad_prev + self.a2, 1e-3)
         # 3. solve c2/Q^2 + c1/Q - T/MAD = 0 for Qstep
@@ -76,8 +79,10 @@ class RateController:
         return qp
 
     def update(self, frame_type: str, bits: int, mad: float) -> None:
-        weight = self.i_ratio if frame_type == "I" else 1.0
-        self.buffer += bits - self.bpf * weight / self._avg_weight()
+        # every frame is charged exactly its bpf share: IDR overshoot
+        # lands in the buffer and is drained by the following frames, so
+        # the TOTAL budget stays n_frames * bpf (<=5% tracking)
+        self.buffer += bits - self.bpf
         mad = max(mad, 1e-3)
         qs = (self._pending_qstep if self._pending_qstep is not None
               else qp_to_qstep(self.prev_qp))
