@@ -68,3 +68,16 @@ def test_x264_all_intra():
     s = x264_encode(_frames(2), qp=30,
                     params=BASE + ":keyint=1:partitions=i4x4")
     _check(s)
+
+
+def test_x264_adaptive_qp():
+    """Per-MB mb_qp_delta chains (x264 aq-mode) — exercises the running-
+    QP threading and per-MB-QP deblocking thresholds."""
+    base = ("8x8dct=0:cabac=0:bframes=0:weightp=0:trellis=0:slices=1"
+            ":scenecut=0:ref=2:partitions=p8x8:keyint=30")
+    s = x264_encode(_frames(5), qp=26, params=base + ":aq-mode=1")
+    _check(s)
+    # CRF mode drives larger qp_delta swings
+    s2 = x264_encode(_frames(4), qp=28,
+                     params=base + ":aq-mode=2:aq-strength=2.0")
+    _check(s2)

@@ -85,6 +85,7 @@ class PictureState:
                             dtype=np.int64)
         self.n_decoded = 0
         self.cabac_state = None
+        self.qp_mb = np.full((self.hm, self.wm), -1, dtype=np.int64)
         self.poc = 0
         self.frame_num = 0
         self.is_ref = True
@@ -243,7 +244,6 @@ class Decoder:
                if self.pps.deblocking_filter_control_present_flag else 0)
         assert pic.deblock_idc in (None, idc), \
             "per-slice deblock idc mix not supported"
-        assert pic.qp in (None, qp), "per-slice QP mix not supported"
         assert hdr.slice_alpha_c0_offset_div2 == 0 \
             and hdr.slice_beta_offset_div2 == 0, "filter offsets"
         pic.deblock_idc = idc
@@ -255,7 +255,7 @@ class Decoder:
             return
         if hdr.slice_type == SLICE_I:
             while True:
-                self._decode_mb_i(r, pic, addr, qp, sid)
+                qp = self._decode_mb_i(r, pic, addr, qp, sid)
                 addr += 1
                 pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
@@ -268,15 +268,15 @@ class Decoder:
                 for _ in range(run):
                     if is_b:
                         raise NotImplementedError("B_Skip (direct)")
-                    self._decode_mb_skip(pic, addr, sid)
+                    self._decode_mb_skip(pic, addr, sid, qp)
                     addr += 1
                     pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
                     break
                 if is_b:
-                    self._decode_mb_b(r, pic, addr, qp, sid)
+                    qp = self._decode_mb_b(r, pic, addr, qp, sid)
                 else:
-                    self._decode_mb_p(r, pic, addr, qp, sid)
+                    qp = self._decode_mb_p(r, pic, addr, qp, sid)
                 addr += 1
                 pic.n_decoded += 1
 
@@ -311,11 +311,12 @@ class Decoder:
             pic.slice_id[mr, mc] = sid
             if p_slice and parser.mb_skip(mr, mc):
                 parser.note_skip(mr, mc)
-                self._decode_mb_skip(pic, addr, sid)
+                self._decode_mb_skip(pic, addr, sid, qp)
             else:
                 mbv = parser.parse_mb(mr, mc, p_slice, cb)
                 qp = qp + mbv["qp_delta"]
                 self._recon_mb_cabac(pic, mr, mc, qp, mbv, sid)
+                pic.qp_mb[mr, mc] = qp
             pic.n_decoded += 1
             addr += 1
             if parser.end_of_slice():
@@ -461,7 +462,8 @@ class Decoder:
             # nC counts as 16 for neighbor derivation (spec 9.2.1)
             pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 16
             pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 16
-            return
+            pic.qp_mb[mr, mc] = qp
+            return qp
         if mb_type > 25:
             raise ValueError(f"bad I mb_type {mb_type}")
 
@@ -484,6 +486,8 @@ class Decoder:
             self._recon_i16(r, pic, mr, mc, qp, i16mode, cbp_luma,
                             at, al, atl)
         self._recon_chroma(r, pic, mr, mc, qp, cmode, cbp_chroma, at, al, atl)
+        pic.qp_mb[mr, mc] = qp
+        return qp
 
     # ------------------------------------------------- syntax helpers
 
@@ -688,10 +692,13 @@ class Decoder:
         if pic.deblock_idc == 2:   # do not filter across slice boundaries
             left_ok[:, 1:] &= pic.slice_id[:, 1:] == pic.slice_id[:, :-1]
             top_ok[1:, :] &= pic.slice_id[1:, :] == pic.slice_id[:-1, :]
-        cqp = rt.chroma_qp(pic.qp, self.pps.chroma_qp_index_offset)
+        qp_g = np.where(pic.qp_mb >= 0, pic.qp_mb, pic.qp)
+        cqp_tab = np.array([rt.chroma_qp(q, self.pps.chroma_qp_index_offset)
+                            for q in range(52)], dtype=np.int64)
         y, u, v = rdb.deblock_frame(
-            pic.y, pic.u, pic.v, pic.qp, cqp, intra_mb, pic.luma_tc,
-            pic.mv4[0], pic.ref4[0], left_ok, top_ok)
+            pic.y, pic.u, pic.v, qp_g, cqp_tab[np.clip(qp_g, 0, 51)],
+            intra_mb, pic.luma_tc, pic.mv4[0], pic.ref4[0],
+            left_ok, top_ok)
         pic.y, pic.u, pic.v = y, u, v
 
     # ------------------------------------------------------ P slices
@@ -775,8 +782,8 @@ class Decoder:
         """B macroblock (16x16 L0/L1/Bi + intra; Table 7-14)."""
         mb_type = read_ue(r)
         if mb_type >= 23:
-            self._decode_mb_i(r, pic, addr, qp, sid, mb_type=mb_type - 23)
-            return
+            return self._decode_mb_i(r, pic, addr, qp, sid,
+                                     mb_type=mb_type - 23)
         if mb_type not in (1, 2, 3):
             raise NotImplementedError(f"B mb_type {mb_type}")
         mr, mc = addr // pic.wm, addr % pic.wm
@@ -831,10 +838,15 @@ class Decoder:
             rt.clip1(pred_y + recon)
         self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
                                  (pred_u, pred_v), sid)
+        pic.qp_mb[mr, mc] = qp
+        return qp
 
-    def _decode_mb_skip(self, pic, addr: int, sid: int):
+    def _decode_mb_skip(self, pic, addr: int, sid: int,
+                        qp: int | None = None):
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
+        if qp is not None:
+            pic.qp_mb[mr, mc] = qp
         mv = self._skip_mv(pic, mr, mc, sid)
         pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0)
         pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
@@ -883,8 +895,8 @@ class Decoder:
                      qp: int, sid: int):
         mb_type = read_ue(r)
         if mb_type >= 5:
-            self._decode_mb_i(r, pic, addr, qp, sid, mb_type=mb_type - 5)
-            return
+            return self._decode_mb_i(r, pic, addr, qp, sid,
+                                     mb_type=mb_type - 5)
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
         g4r, g4c = mr * 4, mc * 4
@@ -958,6 +970,8 @@ class Decoder:
             rt.clip1(pred_y + recon)
         self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
                                  (pred_u, pred_v), sid)
+        pic.qp_mb[mr, mc] = qp
+        return qp
 
     def _recon_chroma_inter(self, r, pic, mr, mc, qp, cbp_chroma, preds, sid):
         cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)

@@ -165,15 +165,23 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
     v = np.asarray(v, dtype=np.int64).copy()
     hm, wm = intra_mb.shape
     bs_v, bs_h = compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm)
-    ia = int(np.clip(qp_y, 0, 51))
-    alpha, beta = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ia])
-    tc0_row = TC0_TABLE[ia]
-    ca = int(np.clip(cqp, 0, 51))
-    calpha, cbeta = int(ALPHA_TABLE[ca]), int(BETA_TABLE[ca])
-    ctc0_row = TC0_TABLE[ca]
+    # qp_y / cqp may be scalars or per-MB [hm, wm] grids (spec 8.7.2:
+    # MB-edge thresholds use qpAv = (qpP + qpQ + 1) >> 1)
+    qp_g = np.broadcast_to(np.asarray(qp_y, dtype=np.int64), (hm, wm))
+    cqp_g = np.broadcast_to(np.asarray(cqp, dtype=np.int64), (hm, wm))
+
+    def _params(grid, r, c, nr, nc):
+        if nr is None:
+            q = grid[r, c]
+        else:
+            q = (int(grid[r, c]) + int(grid[nr, nc]) + 1) >> 1
+        i = int(np.clip(q, 0, 51))
+        return int(ALPHA_TABLE[i]), int(BETA_TABLE[i]), TC0_TABLE[i]
 
     for r in range(hm):
         for c in range(wm):
+            alpha, beta, tc0_row = _params(qp_g, r, c, None, None)
+            calpha, cbeta, ctc0_row = _params(cqp_g, r, c, None, None)
             # ---- luma vertical edges ----
             for k in range(4):
                 x = c * 16 + 4 * k
@@ -182,10 +190,12 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
                 bs = bs_v[r * 4:r * 4 + 4, c * 4 + k]
                 if (bs == 0).all():
                     continue
+                a_, b_, t_ = ((alpha, beta, tc0_row) if k else
+                              _params(qp_g, r, c, r, c - 1))
                 bs16 = np.repeat(bs, 4)
                 win = y[r * 16:r * 16 + 16, x - 4:x + 4]
                 y[r * 16:r * 16 + 16, x - 4:x + 4] = filter_luma_lines(
-                    win, bs16, alpha, beta, tc0_row)
+                    win, bs16, a_, b_, t_)
             # ---- luma horizontal edges ----
             for k in range(4):
                 yy = r * 16 + 4 * k
@@ -194,10 +204,12 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
                 bs = bs_h[r * 4 + k, c * 4:c * 4 + 4]
                 if (bs == 0).all():
                     continue
+                a_, b_, t_ = ((alpha, beta, tc0_row) if k else
+                              _params(qp_g, r, c, r - 1, c))
                 bs16 = np.repeat(bs, 4)
                 win = y[yy - 4:yy + 4, c * 16:c * 16 + 16].T
                 y[yy - 4:yy + 4, c * 16:c * 16 + 16] = filter_luma_lines(
-                    win, bs16, alpha, beta, tc0_row).T
+                    win, bs16, a_, b_, t_).T
             # ---- chroma edges (4:2:0: edges 0 and 4 of the 8x8) ----
             for plane in (u, v):
                 for k in (0, 2):
@@ -207,10 +219,12 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
                     bs = bs_v[r * 4:r * 4 + 4, c * 4 + k]
                     if (bs == 0).all():
                         continue
+                    a_, b_, t_ = ((calpha, cbeta, ctc0_row) if k else
+                                  _params(cqp_g, r, c, r, c - 1))
                     bs8 = np.repeat(bs, 2)
                     win = plane[r * 8:r * 8 + 8, x - 2:x + 2]
                     plane[r * 8:r * 8 + 8, x - 2:x + 2] = \
-                        filter_chroma_lines(win, bs8, calpha, cbeta, ctc0_row)
+                        filter_chroma_lines(win, bs8, a_, b_, t_)
                 for k in (0, 2):
                     yy = r * 8 + 4 * (k // 2)
                     if k == 0 and not filter_edges_top[r, c]:
@@ -218,9 +232,10 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
                     bs = bs_h[r * 4 + k, c * 4:c * 4 + 4]
                     if (bs == 0).all():
                         continue
+                    a_, b_, t_ = ((calpha, cbeta, ctc0_row) if k else
+                                  _params(cqp_g, r, c, r - 1, c))
                     bs8 = np.repeat(bs, 2)
                     win = plane[yy - 2:yy + 2, c * 8:c * 8 + 8].T
                     plane[yy - 2:yy + 2, c * 8:c * 8 + 8] = \
-                        filter_chroma_lines(win, bs8, calpha, cbeta,
-                                            ctc0_row).T
+                        filter_chroma_lines(win, bs8, a_, b_, t_).T
     return y, u, v
