@@ -78,6 +78,11 @@ def test_cabac_b_hierarchical():
             dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i
         assert np.array_equal(
             du, np.asarray(enc.recons[i][1]).astype(np.uint8)), i
+    own = decode_annexb(stream)
+    assert len(own) == 9
+    for i, (dy, du, dv) in enumerate(own):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), ("own", i)
 
 
 def test_closed_gop_periodic_idr():

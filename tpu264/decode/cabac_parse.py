@@ -26,9 +26,10 @@ class CabacSliceParser:
         self.st.prev_qp_delta_nz = 0
 
     # ------------------------------------------------------------ MB level
-    def mb_skip(self, mr, mc) -> bool:
+    def mb_skip(self, mr, mc, b_slice: bool = False) -> bool:
         self.st.start_mb(mr, mc, self.sid)
-        skip = self.eng.decode(self.st.ctx_mb_skip(mr, mc, self.sid))
+        skip = self.eng.decode(
+            self.st.ctx_mb_skip(mr, mc, self.sid, b_slice))
         return bool(skip)
 
     def end_of_slice(self) -> bool:
@@ -37,7 +38,8 @@ class CabacSliceParser:
     def note_skip(self, mr, mc):
         self.st.set_skip(mr, mc)
 
-    def parse_mb(self, mr, mc, p_slice: bool, intra_cb):
+    def parse_mb(self, mr, mc, p_slice: bool, intra_cb,
+                 b_slice: bool = False):
         """Parse one (non-skip) macroblock → value dict.
 
         intra_cb.mpm(gr4, gc4) returns the most-probable intra 4x4 mode for
@@ -45,7 +47,20 @@ class CabacSliceParser:
         just-parsed mode (later blocks of the same MB predict from it).
         """
         eng, st, sid = self.eng, self.st, self.sid
-        if not p_slice:
+        use0 = use1 = False
+        if b_slice:
+            mbt = cs.decode_mb_type_b(eng, st.ctx_mb_type_b(mr, mc, sid))
+            if mbt == 0:
+                raise NotImplementedError("B_Direct_16x16")
+            inter = mbt < 23
+            if inter:
+                if mbt not in (1, 2, 3):
+                    raise NotImplementedError(f"B mb_type {mbt}")
+                use0 = mbt in (1, 3)
+                use1 = mbt in (2, 3)
+            else:
+                mbt -= 23
+        elif not p_slice:
             st.start_mb(mr, mc, sid)
             mbt = cs.decode_mb_type_intra(
                 eng, st.ctx_mb_type_i(mr, mc, sid), cs.I_REST)
@@ -55,12 +70,13 @@ class CabacSliceParser:
             inter = mbt < 5
             if not inter:
                 mbt -= 5
-        out = {"mb_type": mbt, "inter": inter}
+        out = {"mb_type": mbt, "inter": inter,
+               "use0": use0, "use1": use1}
         if not inter and mbt == 25:
             raise NotImplementedError("I_PCM")
 
         if inter:
-            if mbt != 0:
+            if not b_slice and mbt != 0:
                 raise NotImplementedError(f"P mb_type {mbt} (partitions)")
             kind = cs.K_INTER
         elif mbt == 0:
@@ -83,11 +99,24 @@ class CabacSliceParser:
             st.cpm[mr, mc] = cpm
             out["cmode"] = cpm
         if kind == cs.K_INTER:
-            mvd_x = cs.decode_mvd(eng, st, mr, mc, sid, 1)
-            mvd_y = cs.decode_mvd(eng, st, mr, mc, sid, 0)
-            st.absmvd[mr, mc, 0] = abs(mvd_y)
-            st.absmvd[mr, mc, 1] = abs(mvd_x)
-            out["mvd"] = (mvd_y, mvd_x)
+            if b_slice:
+                st.absmvd[mr, mc] = 0
+                st.absmvd1[mr, mc] = 0
+                for lx, use in ((0, use0), (1, use1)):
+                    if not use:
+                        continue
+                    mvd_x = cs.decode_mvd(eng, st, mr, mc, sid, 1, lx)
+                    mvd_y = cs.decode_mvd(eng, st, mr, mc, sid, 0, lx)
+                    amvd = st.absmvd if lx == 0 else st.absmvd1
+                    amvd[mr, mc, 0] = abs(mvd_y)
+                    amvd[mr, mc, 1] = abs(mvd_x)
+                    out[f"mvd{lx}"] = (mvd_y, mvd_x)
+            else:
+                mvd_x = cs.decode_mvd(eng, st, mr, mc, sid, 1)
+                mvd_y = cs.decode_mvd(eng, st, mr, mc, sid, 0)
+                st.absmvd[mr, mc, 0] = abs(mvd_y)
+                st.absmvd[mr, mc, 1] = abs(mvd_x)
+                out["mvd"] = (mvd_y, mvd_x)
 
         if kind == cs.K_I16:
             t = mbt - 1

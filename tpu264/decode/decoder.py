@@ -290,7 +290,8 @@ class Decoder:
             pic.cabac_state = cs.CabacFrameState(pic.wm, pic.hm)
             pic.cabac_state.slice_id = pic.slice_id   # shared availability
         p_slice = hdr.slice_type == SLICE_P
-        table = (1 + hdr.cabac_init_idc) if p_slice else 0
+        b_slice = hdr.slice_type == SLICE_B
+        table = (1 + hdr.cabac_init_idc) if (p_slice or b_slice) else 0
         parser = CabacSliceParser(rbsp, r.pos, table, hdr.slice_qp,
                                   pic.cabac_state, sid)
         dec = self
@@ -309,13 +310,17 @@ class Decoder:
         while True:
             mr, mc = addr // pic.wm, addr % pic.wm
             pic.slice_id[mr, mc] = sid
-            if p_slice and parser.mb_skip(mr, mc):
+            if (p_slice or b_slice) and parser.mb_skip(mr, mc, b_slice):
+                if b_slice:
+                    raise NotImplementedError("B_Skip (direct)")
                 parser.note_skip(mr, mc)
                 self._decode_mb_skip(pic, addr, sid, qp)
             else:
-                mbv = parser.parse_mb(mr, mc, p_slice, cb)
+                mbv = parser.parse_mb(mr, mc, p_slice, cb,
+                                      b_slice=b_slice)
                 qp = qp + mbv["qp_delta"]
-                self._recon_mb_cabac(pic, mr, mc, qp, mbv, sid)
+                self._recon_mb_cabac(pic, mr, mc, qp, mbv, sid,
+                                     b_slice=b_slice)
                 pic.qp_mb[mr, mc] = qp
             pic.n_decoded += 1
             addr += 1
@@ -324,12 +329,46 @@ class Decoder:
             if addr >= n_mbs:
                 raise ValueError("CABAC slice overruns picture")
 
-    def _recon_mb_cabac(self, pic, mr, mc, qp, mbv, sid):
+    def _recon_mb_cabac(self, pic, mr, mc, qp, mbv, sid,
+                        b_slice: bool = False):
         at = self._avail_mb(pic, mr, mc, -1, 0, sid)
         al = self._avail_mb(pic, mr, mc, 0, -1, sid)
         atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
         atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
         cbp_l, cbp_c = mbv["cbp_luma"], mbv["cbp_chroma"]
+
+        if mbv["inter"] and b_slice:
+            preds = []
+            for lx, use in ((0, mbv["use0"]), (1, mbv["use1"])):
+                if not use:
+                    pic.set_motion(lx, mr * 4, mc * 4, 4, 4, 0,
+                                   mvpred.INTRA)
+                    continue
+                mvd_y, mvd_x = mbv[f"mvd{lx}"]
+                pred = self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4,
+                                          4, 4, sid)
+                mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                pic.set_motion(lx, mr * 4, mc * 4, 4, 4, mv, 0)
+                reflist = self._list0 if lx == 0 else self._list1
+                preds.append(self._mc_recon(pic, mr, mc, mv, reflist[0]))
+            if len(preds) == 2:
+                pred_y, pred_u, pred_v = (
+                    (a + b + 1) >> 1 for a, b in zip(*preds))
+            else:
+                pred_y, pred_u, pred_v = preds[0]
+            recon = np.zeros((16, 16), dtype=np.int64)
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                scanned = mbv["luma4"][idx]
+                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+                rt.clip1(pred_y + recon)
+            self._recon_chroma_vals(pic, mr, mc, qp, mbv,
+                                    (pred_u, pred_v))
+            return
 
         if mbv["inter"]:
             mvd_y, mvd_x = mbv["mvd"]

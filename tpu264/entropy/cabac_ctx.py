@@ -52,6 +52,7 @@ class CabacFrameState:
         self.cbf_cdc = np.zeros((2, hm, wm), dtype=np.int64)
         self.cbf_cac = np.zeros((2, hm * 2, wm * 2), dtype=np.int64)
         self.absmvd = np.zeros((hm, wm, 2), dtype=np.int64)   # [dy, dx]
+        self.absmvd1 = np.zeros((hm, wm, 2), dtype=np.int64)  # list 1
         self.prev_qp_delta_nz = 0    # reset at each slice start
 
     # -- availability ---------------------------------------------------
@@ -72,14 +73,23 @@ class CabacFrameState:
         self.cbf_cdc[:, mr, mc] = 0
         self.cbf_cac[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 0
         self.absmvd[mr, mc] = 0
+        self.absmvd1[mr, mc] = 0
 
     # -- context increments ----------------------------------------------
-    def ctx_mb_skip(self, mr, mc, sid) -> int:
+    def ctx_mb_skip(self, mr, mc, sid, b_slice: bool = False) -> int:
         inc = 0
         for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
             if self.avail(nr, nc, sid) and self.kind[nr, nc] != K_SKIP:
                 inc += 1
-        return 11 + inc
+        return (24 if b_slice else 11) + inc
+
+    def ctx_mb_type_b(self, mr, mc, sid) -> int:
+        """bin0 of B mb_type: neighbors coded and not direct/skip."""
+        inc = 0
+        for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
+            if self.avail(nr, nc, sid) and self.kind[nr, nc] != K_SKIP:
+                inc += 1
+        return 27 + inc
 
     def ctx_mb_type_i(self, mr, mc, sid) -> int:
         """bin0 of I-slice mb_type: neighbors coded other than I_NxN."""
@@ -136,12 +146,13 @@ class CabacFrameState:
     def ctx_qp_delta(self) -> int:
         return 60 + (1 if self.prev_qp_delta_nz else 0)
 
-    def ctx_mvd(self, mr, mc, sid, comp: int) -> int:
+    def ctx_mvd(self, mr, mc, sid, comp: int, lx: int = 0) -> int:
         """bin0 of mvd (comp: 0 = y/vertical, 1 = x/horizontal)."""
+        amvd = self.absmvd if lx == 0 else self.absmvd1
         s = 0
         for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
             if self.avail(nr, nc, sid):
-                s += int(self.absmvd[nr, nc, comp])
+                s += int(amvd[nr, nc, comp])
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
         return (47 if comp == 0 else 40) + inc
 
@@ -248,6 +259,28 @@ def decode_mb_type_intra(eng, first_ctx: int, rest: tuple) -> int:
 
 I_REST = (6, 7, 8, 9, 10)
 P_SUFFIX_REST = (18, 19, 19, 20, 20)
+B_SUFFIX_REST = (33, 34, 34, 35, 35)
+
+
+def decode_mb_type_b(eng, ctx0: int) -> int:
+    """B mb_type (Table 9-37 inverse; ffmpeg decode_cabac_mb_type)."""
+    if eng.decode(ctx0) == 0:
+        return 0                                  # B_Direct_16x16
+    if eng.decode(30) == 0:
+        return 1 + eng.decode(32)                 # B_L0 / B_L1 16x16
+    bits = eng.decode(31) << 3
+    bits |= eng.decode(32) << 2
+    bits |= eng.decode(32) << 1
+    bits |= eng.decode(32)
+    if bits < 8:
+        return bits + 3                           # 3..10 (3 = B_Bi_16x16)
+    if bits == 13:
+        return 23 + decode_mb_type_intra(eng, 32, B_SUFFIX_REST)
+    if bits == 14:
+        return 11
+    if bits == 15:
+        return 22                                 # B_8x8
+    return 12 + ((bits & 3) << 1 | eng.decode(32))
 
 
 def encode_mb_type_p(eng, mb_type: int):
@@ -402,10 +435,11 @@ def _encode_eg_suffix(eng, v: int, k: int):
         eng.encode_bypass((v >> i) & 1)
 
 
-def encode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int, mvd: int):
+def encode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int, mvd: int,
+               lx: int = 0):
     """UEG3 with signedValFlag=1, uCoff=9 (spec 9.3.2.3)."""
     a = abs(mvd)
-    ctx0 = st.ctx_mvd(mr, mc, sid, comp)
+    ctx0 = st.ctx_mvd(mr, mc, sid, comp, lx)
     base = 47 if comp == 0 else 40
     if a == 0:
         eng.encode(ctx0, 0)
@@ -421,8 +455,9 @@ def encode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int, mvd: int):
     eng.encode_bypass(1 if mvd < 0 else 0)
 
 
-def decode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int) -> int:
-    ctx0 = st.ctx_mvd(mr, mc, sid, comp)
+def decode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int,
+               lx: int = 0) -> int:
+    ctx0 = st.ctx_mvd(mr, mc, sid, comp, lx)
     base = 47 if comp == 0 else 40
     if eng.decode(ctx0) == 0:
         return 0
