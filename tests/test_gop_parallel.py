@@ -55,5 +55,7 @@ def test_scaling_harness_runs():
     res = scaling_harness(_mk, frames, intra_period=3, host_counts=(1, 2))
     assert set(res) == {1, 2}
     assert res[1]["efficiency"] == 1.0
-    assert 0 < res[2]["efficiency"] <= 1.2
+    # wall-clock derived; allow generous noise headroom on loaded CI
+    # machines (uneven GOP shares can push efficiency slightly above 1)
+    assert 0.2 < res[2]["efficiency"] <= 1.6
     assert res[2]["stream_bytes"] == res[1]["stream_bytes"]
