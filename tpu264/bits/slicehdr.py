@@ -11,7 +11,7 @@ import dataclasses
 
 from .bitreader import BitReader
 from .bitwriter import BitSink
-from .expgolomb import read_se, read_te, read_ue, write_se, write_te, write_ue
+from .expgolomb import read_se, read_ue, write_se, write_ue
 from .params import PPS, SPS
 
 # slice_type values (spec Table 7-6); +5 variants mean "all slices in pic

@@ -24,7 +24,7 @@ from tpu264.kernels import interp as kint
 from tpu264.kernels import me as kme
 from tpu264.kernels import transform as kt
 from . import mvpred
-from .intra_frame import (BIG, CQP_J, ZZ_COLS, ZZ_ROWS, assemble_plane,
+from .intra_frame import (CQP_J, ZZ_COLS, ZZ_ROWS, assemble_plane,
                           eval_chroma, eval_i16, eval_i4x4,
                           chroma_residual_recon, gather_border_ctx,
                           init_border_buffers, lambda_terms_j,

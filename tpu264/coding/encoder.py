@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from tpu264.bits import nal
-from tpu264.bits.bitwriter import BitSink
 from tpu264.bits.params import PPS, SPS
 from tpu264.bits.slicehdr import (SLICE_B, SLICE_I, SLICE_P,
                                   SliceHeader)

@@ -11,8 +11,6 @@ overhead to one tight loop per slice.
 
 from __future__ import annotations
 
-import numpy as np
-
 from . import cabac_tables as tbl
 
 # stream record kinds

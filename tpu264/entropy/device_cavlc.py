@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu264.coding.wavefront import BLK_ORDER, WaveSchedule
+from tpu264.coding.wavefront import BLK_ORDER
 from tpu264.coding import mvpred
 from . import cavlc_tables as tbl
 from . import mb_syntax

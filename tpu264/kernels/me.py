@@ -16,8 +16,6 @@ neighbors of the best half position, with SATD + lambda * mv-rate cost.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

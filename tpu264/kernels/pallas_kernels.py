@@ -21,8 +21,6 @@ enabled via `EncoderConfig.use_pallas` / `set_enabled`.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

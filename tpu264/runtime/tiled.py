@@ -17,12 +17,10 @@ is the determinism/race gate of SURVEY.md §4.4.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu264.coding.intra_frame import make_intra_encoder
 from tpu264.coding.wavefront import build_schedule
