@@ -59,8 +59,10 @@ class Encoder:
         cfg.validate()
         self.cfg = cfg
         from tpu264.kernels import pallas_kernels as pk
-        if cfg.use_pallas is not None:
-            pk.set_enabled(cfg.use_pallas)
+        # use_pallas None → auto: enabled on the TPU backend, off on the
+        # CPU/interpret backends (config.py `use_pallas`)
+        pk.set_enabled(cfg.use_pallas if cfg.use_pallas is not None
+                       else jax.default_backend() == "tpu")
         if gop_mode is None:
             if cfg.num_b_frames > 0 and cfg.intra_period != 1:
                 gop_mode = "bgop"
@@ -151,8 +153,9 @@ class Encoder:
 
             @jax.jit
             def _ser_b(mbd):
-                v, l = dcav.serialize_frame_b_j(mbd, wm, hm, rows)
-                return dcav.pack_slices_j(v, l, n_slices, cap_words)
+                v, l, skipped = dcav.serialize_frame_b_j(mbd, wm, hm, rows)
+                w, nb = dcav.pack_slices_j(v, l, n_slices, cap_words)
+                return w, nb, skipped
 
             self._ser_i, self._ser_p, self._ser_b = _ser_i, _ser_p, _ser_b
 
@@ -168,9 +171,12 @@ class Encoder:
         self._sse3 = _sse3
 
     def _apply_deblock_j(self, dev_out, mbd, qp: int, is_inter=None,
-                         mv=None):
+                         mv=None, b_motion=None):
         """Device twin of `_apply_deblock`: bS inputs derived on device from
-        the raster mb dict, filtered planes stay on device."""
+        the raster mb dict, filtered planes stay on device.
+
+        `b_motion` = (mv0, use0, mv1, use1) raster arrays for B frames —
+        two-list bS form (spec 8.7.2.1); `mv` is the single-list P form."""
         from tpu264.entropy.device_cavlc import (_compute_cbp_j,
                                                  luma_tc_grid_j)
         from tpu264.coding import mvpred
@@ -185,10 +191,20 @@ class Encoder:
             mbd["chroma_ac"])
         tc = luma_tc_grid_j(mbd, cbp_luma, wm, hm)
         intra_mb = (~is_inter).reshape(hm, wm)
-        if mv is None:
-            mv = jnp.zeros((n, 2), dtype=jnp.int32)
-        mv_grid = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
-        ref_grid = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
+        if b_motion is not None:
+            mv0, use0, mv1, use1 = b_motion
+            mv_grid = jnp.stack(
+                [jnp.where(use0[:, None], mv0, 0),
+                 jnp.where(use1[:, None], mv1, 0)],
+                axis=1).reshape(hm, wm, 2, 2).astype(jnp.int32)
+            ref_grid = jnp.stack(
+                [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
+                axis=1).reshape(hm, wm, 2).astype(jnp.int32)
+        else:
+            if mv is None:
+                mv = jnp.zeros((n, 2), dtype=jnp.int32)
+            mv_grid = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
+            ref_grid = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)
         from tpu264.ref.transform import chroma_qp
         fy, fu, fv = self._deblock(
             dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
@@ -197,7 +213,8 @@ class Encoder:
         return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                 fv.astype(jnp.uint8))
 
-    def _apply_deblock(self, dev_out, mb, qp: int, is_inter=None, mv=None):
+    def _apply_deblock(self, dev_out, mb, qp: int, is_inter=None, mv=None,
+                       b_motion=None):
         """Filter the reconstructed picture for output/DPB (intra
         prediction already consumed the unfiltered samples)."""
         import jax.numpy as jnp
@@ -215,12 +232,22 @@ class Encoder:
                                     mb["luma_ac"].astype(np.int64),
                                     cfg.width_mbs, cfg.height_mbs)
         intra_mb = (~is_inter).reshape(cfg.height_mbs, cfg.width_mbs)
-        if mv is None:
-            mv = np.zeros((n, 2), dtype=np.int64)
-        mv_grid = np.where(is_inter[:, None], mv, 0).reshape(
-            cfg.height_mbs, cfg.width_mbs, 2)
-        ref_grid = np.where(is_inter, 0, mvpred.INTRA).reshape(
-            cfg.height_mbs, cfg.width_mbs)
+        if b_motion is not None:
+            mv0, use0, mv1, use1 = b_motion
+            mv_grid = np.stack(
+                [np.where(use0[:, None], mv0, 0),
+                 np.where(use1[:, None], mv1, 0)],
+                axis=1).reshape(cfg.height_mbs, cfg.width_mbs, 2, 2)
+            ref_grid = np.stack(
+                [np.where(use0, 0, -1), np.where(use1, 1, -1)],
+                axis=1).reshape(cfg.height_mbs, cfg.width_mbs, 2)
+        else:
+            if mv is None:
+                mv = np.zeros((n, 2), dtype=np.int64)
+            mv_grid = np.where(is_inter[:, None], mv, 0).reshape(
+                cfg.height_mbs, cfg.width_mbs, 2)
+            ref_grid = np.where(is_inter, 0, mvpred.INTRA).reshape(
+                cfg.height_mbs, cfg.width_mbs)
         from tpu264.ref.transform import chroma_qp
         fy, fu, fv = self._deblock(
             dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
@@ -427,8 +454,14 @@ class Encoder:
         plan = []                      # (display, kind, ref0, ref1)
         prev = None
         period = cfg.intra_period
+        last_idr = 0
         for ai, a in enumerate(anchors):
-            is_idr = ai == 0 or (period > 1 and ai % period == 0)
+            # JM IntraPeriod counts display frames (matching the ippp
+            # path and checkpoint.gop_starts): an anchor becomes an IDR
+            # once >= period frames have passed since the last IDR
+            is_idr = ai == 0 or (period > 1 and a - last_idr >= period)
+            if is_idr:
+                last_idr = a
             if prev is None:
                 plan.append((a, "I", None, None))
             elif is_idr:
@@ -451,6 +484,7 @@ class Encoder:
         idr_count = 0
         disp_base = 0
         fn_of = {}                     # display idx -> frame_num (refs)
+        cz_of = {}                     # display idx -> colZeroFlag [n] map
         last_ref_fn = 0
         max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
         max_fn = 1 << self.sps.log2_max_frame_num
@@ -486,11 +520,13 @@ class Encoder:
                 is_ref = kind == "Bref"
                 nalus, recon = self.encode_b_frame(
                     y, u, v, self.recons[r0], self.recons[r1],
-                    frame_num=fn, poc_lsb=poc, is_ref=is_ref)
+                    frame_num=fn, poc_lsb=poc, is_ref=is_ref,
+                    colzero=cz_of.get(r1))
                 if is_ref:
                     fn_of[disp] = fn
                     last_ref_fn = fn
                     fn = (fn + 1) % max_fn
+            cz_of[disp] = self._last_colzero
             out.extend(nalus)
             self.recons[disp] = recon
             bits = sum(8 * len(b) for b in nalus)
@@ -508,18 +544,25 @@ class Encoder:
 
     def encode_b_frame(self, y, u, v, ref0, ref1, frame_num: int,
                        poc_lsb: int, qp: int | None = None,
-                       is_ref: bool = False):
-        """Encode one non-reference B frame against (past, future) recon
-        refs.  Deblocking is signalled off (idc 1) on B slices until the
-        B-aware bS derivation lands — standard-legal per-slice choice."""
+                       is_ref: bool = False, colzero=None):
+        """Encode one B frame against (past, future) recon refs with
+        in-loop deblocking per the config (two-list bS, spec 8.7.2.1).
+
+        `colzero`: [n_mbs] bool — per-MB colZeroFlag input derived from
+        the list1 reference's stored motion (spatial direct, spec
+        8.4.1.2.2); None disables the zeroing (treated all-False)."""
         cfg = self.cfg
+        n_mbs = cfg.width_mbs * cfg.height_mbs
         if qp is None:
             qp = cfg.qp_inter
+        if colzero is None:
+            colzero = jnp.zeros(n_mbs, dtype=bool)
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
         dev_out, ys = self._encode_b(yd, ud, vd,
                                      ref0[0], ref0[1], ref0[2],
                                      ref1[0], ref1[1], ref1[2],
+                                     jnp.asarray(colzero),
                                      np.int32(qp))
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
 
@@ -530,11 +573,29 @@ class Encoder:
                 frame_num=frame_num,
                 slice_qp=qp,
                 pic_order_cnt_lsb=poc_lsb,
-                disable_deblocking_filter_idc=1,
+                disable_deblocking_filter_idc=self.deblock_idc,
                 is_idr=False,
                 nal_ref_idc=2 if is_ref else 0,
             )
             return hdr.write_rbsp_head(self.sps, self.pps)
+
+        def b_motion_of(mb):
+            btype = mb["btype"]
+            is_inter = btype < 4
+            use0 = mb["use0"].astype(bool)
+            use1 = mb["use1"].astype(bool)
+            return (is_inter,
+                    (mb["mv0"], use0, mb["mv1"], use1))
+
+        def note_colzero(mb, xp):
+            # this frame's colZeroFlag contribution when it later serves
+            # as a colocated (list1[0]) reference: inter MBs with the
+            # used-list mv within +-1 quarter-pel (spec 8.4.1.2.2)
+            use0 = mb["use0"].astype(bool)
+            use1 = mb["use1"].astype(bool)
+            mv = xp.where(use0[:, None], mb["mv0"], mb["mv1"])
+            self._last_colzero = ((use0 | use1)
+                                  & (xp.abs(mv) <= 1).all(axis=1))
 
         if self.cabac:
             mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
@@ -542,6 +603,7 @@ class Encoder:
             payloads, _ = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs,
                 self.sched.slice_starts.tolist(), qp, b_slice=True)
+            note_colzero(mb, np)
             nalus = []
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
@@ -549,24 +611,41 @@ class Encoder:
                 nalus.append(nal.make_nalu(
                     2 if is_ref else 0, nal.NAL_SLICE,
                     sink.to_bytes() + payloads[s]))
-            recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                     np.asarray(dev_out["recon_v"], dtype=np.uint8))
+            if cfg.deblock:
+                is_inter, bmo = b_motion_of(mb)
+                recon = self._apply_deblock(dev_out, mb, qp,
+                                            is_inter=is_inter,
+                                            b_motion=bmo)
+            else:
+                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
+                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
             return nalus, recon
         mbd = reorder_wave_outputs_j(self.sched, ys)
-        words, nbits = self._ser_b(mbd)
+        words, nbits, skipped_d = self._ser_b(mbd)
+        note_colzero(mbd, jnp)
         nbits_np = np.asarray(nbits)
         words_np = _bucketed_words(words, nbits_np)
+        skipped = np.asarray(skipped_d)
         nalus = []
         for s in range(cfg.slices_per_frame):
+            first_mb = s * rows_per_slice * cfg.width_mbs
+            last_mb = first_mb + rows_per_slice * cfg.width_mbs
+            tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
             nb = int(nbits_np[s])
             wslice = words_np[s, : (nb + 31) // 32]
-            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
+            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s),
+                                            final_skip_run=tail)
             nalus.append(nal.make_nalu(2 if is_ref else 0,
                                        nal.NAL_SLICE, rbsp))
-        recon = (dev_out["recon_y"].astype(jnp.uint8),
-                 dev_out["recon_u"].astype(jnp.uint8),
-                 dev_out["recon_v"].astype(jnp.uint8))
+        if cfg.deblock:
+            is_inter, bmo = b_motion_of(mbd)
+            recon = self._apply_deblock_j(dev_out, mbd, qp,
+                                          is_inter=is_inter, b_motion=bmo)
+        else:
+            recon = (dev_out["recon_y"].astype(jnp.uint8),
+                     dev_out["recon_u"].astype(jnp.uint8),
+                     dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
 
     def encode_intra_frame(self, y, u, v, frame_num: int = 0,
@@ -579,6 +658,9 @@ class Encoder:
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
         dev_out, ys = self._encode_frame(yd, ud, vd, np.int32(qp))
+        # all-intra picture: colZeroFlag never set over it (refIdxCol -1)
+        self._last_colzero = np.zeros(cfg.width_mbs * cfg.height_mbs,
+                                      dtype=bool)
         slice_rows = self.sched.slice_starts.tolist()
 
         def hdr_sink(s):
@@ -667,6 +749,9 @@ class Encoder:
             payloads, skipped = encode_frame_cabac_fast(
                 mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
                 qp, p_slice=True)
+            self._last_colzero = (
+                mb["is_inter"].astype(bool)
+                & (np.abs(mb["mv"]) <= 1).all(axis=1))
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
                 sink.cabac_align()
@@ -685,6 +770,9 @@ class Encoder:
 
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits, skipped_d = self._ser_p(mbd)
+        self._last_colzero = (
+            mbd["is_inter"].astype(bool)
+            & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
         nbits_np = np.asarray(nbits)
         words_np = _bucketed_words(words, nbits_np)
         skipped = np.asarray(skipped_d)

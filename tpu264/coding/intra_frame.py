@@ -435,8 +435,13 @@ _PERM_CACHE: dict = {}
 
 
 def _raster_perm(sched: WaveSchedule) -> np.ndarray:
-    """perm[mb_raster_idx] = flat wave-major lane index (static)."""
-    key = id(sched)
+    """perm[mb_raster_idx] = flat wave-major lane index (static).
+
+    Keyed on the schedule geometry (not `id(sched)`: CPython reuses ids
+    after GC, which could alias a stale permutation onto a new schedule
+    with different geometry)."""
+    key = (sched.width_mbs, sched.height_mbs,
+           tuple(sched.slice_starts.tolist()))
     if key not in _PERM_CACHE:
         flat_idx = sched.mb_index.reshape(-1)
         valid = sched.valid.reshape(-1)

@@ -42,7 +42,7 @@ class EncoderConfig:
     bitrate: int = 0                     # target bps when rate_control
     slices_per_frame: int = 1            # tile/slice rows (also the TP axis)
     # runtime
-    use_pallas: Optional[bool] = None    # None → auto (TPU backend only)
+    use_pallas: Optional[bool] = None    # None → auto: on iff backend is TPU
     output_file: str = "out.264"
     recon_file: Optional[str] = None
 

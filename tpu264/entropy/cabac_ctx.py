@@ -26,6 +26,7 @@ K_SKIP = 0
 K_INTER = 1     # inter-coded, not skip
 K_I4 = 2
 K_I16 = 3
+K_DIRECT = 4    # B_Direct_16x16 (coded, but direct for mb_type ctx)
 
 # ctxBlockCat offsets
 SIG_CAT_OFF = (0, 15, 29, 44, 47)     # significant / last maps
@@ -84,10 +85,12 @@ class CabacFrameState:
         return (24 if b_slice else 11) + inc
 
     def ctx_mb_type_b(self, mr, mc, sid) -> int:
-        """bin0 of B mb_type: neighbors coded and not direct/skip."""
+        """bin0 of B mb_type: neighbors coded and not direct/skip
+        (spec 9.3.3.1.1.3: B_Skip AND B_Direct_16x16 count as 0)."""
         inc = 0
         for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
-            if self.avail(nr, nc, sid) and self.kind[nr, nc] != K_SKIP:
+            if self.avail(nr, nc, sid) \
+                    and self.kind[nr, nc] not in (K_SKIP, K_DIRECT):
                 inc += 1
         return 27 + inc
 
@@ -280,7 +283,8 @@ def decode_mb_type_b(eng, ctx0: int) -> int:
         return 11
     if bits == 15:
         return 22                                 # B_8x8
-    return 12 + ((bits & 3) << 1 | eng.decode(32))
+    # bits in 8..12 → mb_type 12..21 (16x8/8x16 shapes): (bits<<1|x)-4
+    return 2 * bits - 4 + eng.decode(32)
 
 
 def encode_mb_type_p(eng, mb_type: int):

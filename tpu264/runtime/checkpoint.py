@@ -4,8 +4,9 @@ JM has no in-run checkpointing; IDR points make streams seekable.  Here
 closed GOPs (IDR-delimited) are the recovery unit: after each completed
 GOP the orchestrator records {next display frame, byte offset, rate-
 control state} as JSON next to the output file.  Resume truncates the
-stream at the recorded offset and re-encodes from the next GOP boundary
-— byte-identical to an uninterrupted run for deterministic configs.
+stream at the recorded offset, restores the rate-controller model, and
+re-encodes from the next GOP boundary — byte-identical to an
+uninterrupted run (tests/test_aux.py covers both constant-QP and RC).
 `encode_gops` also retries a failed GOP once (transient-failure model:
 the GOP is re-dispatched, matching the multi-host recovery story where a
 lost host's GOPs are re-run elsewhere).
@@ -48,6 +49,8 @@ def encode_gops(enc, frames, out_path: str, ckpt_path: str | None = None,
                 ck.get("intra_period") == cfg.intra_period:
             done_gop = ck["done_gops"]
             offset = ck["byte_offset"]
+            if enc.rc is not None and ck.get("rc_state") is not None:
+                enc.rc.set_state(ck["rc_state"])
 
     mode = "r+b" if offset else "wb"
     if not os.path.exists(out_path):
@@ -59,9 +62,15 @@ def encode_gops(enc, frames, out_path: str, ckpt_path: str | None = None,
             lo, hi = bounds[g], bounds[g + 1]
             chunk = None
             err = None
+            stats_base = len(enc.stats)
+            rc_base = enc.rc.get_state() if enc.rc is not None else None
             for _ in range(1 + max_retries):
                 try:
-                    enc.stats.clear()
+                    # retry resets this GOP's partial stats/RC state only;
+                    # earlier GOPs' stats keep accumulating
+                    del enc.stats[stats_base:]
+                    if rc_base is not None:
+                        enc.rc.set_state(rc_base)
                     chunk = enc.encode_sequence(frames[lo:hi])
                     break
                 except Exception as e:          # transient-failure model
@@ -75,7 +84,10 @@ def encode_gops(enc, frames, out_path: str, ckpt_path: str | None = None,
                 json.dump({"n_frames": len(frames),
                            "intra_period": cfg.intra_period,
                            "done_gops": g + 1,
-                           "byte_offset": offset}, cf)
+                           "byte_offset": offset,
+                           "rc_state": (enc.rc.get_state()
+                                        if enc.rc is not None else None)},
+                          cf)
             os.replace(ckpt_path + ".tmp", ckpt_path)
     with open(out_path, "rb") as f:
         return f.read()

@@ -97,6 +97,22 @@ class RateController:
         self.mad_prev = mad
         self.curr_qp = self.prev_qp
 
+    # ----------------------------------------------------- checkpoint state
+    _STATE_KEYS = ("bpf", "prev_qp", "curr_qp", "c1", "c2", "a1", "a2",
+                   "mad_prev", "buffer", "i_ratio")
+
+    def get_state(self) -> dict:
+        """JSON-serializable snapshot (checkpoint/resume — SURVEY.md §5)."""
+        st = {k: getattr(self, k) for k in self._STATE_KEYS}
+        st["history"] = [list(h) for h in self.history]
+        return st
+
+    def set_state(self, st: dict) -> None:
+        for k in self._STATE_KEYS:
+            setattr(self, k, st[k])
+        self.history = [tuple(h) for h in st["history"]]
+        self._pending_qstep = None
+
     # ------------------------------------------------------------- fitting
     def _avg_weight(self) -> float:
         return 1.0   # flat allocation: I overshoot is absorbed by `buffer`

@@ -67,7 +67,10 @@ class TiledEncoder:
     def __init__(self, cfg, mesh: Mesh, tile_axis: str = "tile",
                  gop_axis: str = "gop"):
         from tpu264.coding.intra_frame import make_intra_encoder
+        from tpu264.kernels import pallas_kernels as pk
         cfg.validate()
+        pk.set_enabled(cfg.use_pallas if cfg.use_pallas is not None
+                       else jax.default_backend() == "tpu")
         self.cfg = cfg
         self.mesh = mesh
         self.tile_axis = tile_axis
