@@ -81,3 +81,17 @@ def test_x264_adaptive_qp():
     s2 = x264_encode(_frames(4), qp=28,
                      params=base + ":aq-mode=2:aq-strength=2.0")
     _check(s2)
+
+
+@pytest.mark.parametrize("bf", [1, 2, 3])
+def test_x264_bframes_spatial_direct(bf):
+    """External B streams: B_Skip / B_Direct_16x16 (spatial direct, per-
+    8x8 colZeroFlag), L0/L1/BI 16x16, B deblocking — bit-exact vs lavc
+    (VERDICT r3 task #4)."""
+    s = x264_encode(
+        _frames(7), qp=28,
+        params=f"8x8dct=0:cabac=0:bframes={bf}:b-adapt=0:b-pyramid=none"
+               ":partitions=none:weightp=0:no-weightb=1:direct=spatial"
+               ":ref=1:aq-mode=0:no-mbtree=1:trellis=0:slices=1"
+               ":scenecut=0:keyint=30")
+    _check(s)

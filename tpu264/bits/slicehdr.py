@@ -42,6 +42,7 @@ class SliceHeader:
     # abs_diff_pic_num_minus1) commands per list (spec 7.3.3.1)
     reorder_l0: tuple = ()
     reorder_l1: tuple = ()
+    direct_spatial_mv_pred_flag: int = 1   # B slices: spatial direct
 
     def write_rbsp_head(self, sps: SPS, pps: PPS) -> BitSink:
         """Write the slice header into a fresh BitSink (slice data follows)."""
@@ -57,7 +58,7 @@ class SliceHeader:
             if pps.pic_order_present_flag:
                 raise NotImplementedError("delta_pic_order_cnt_bottom")
         if self.slice_type == SLICE_B:
-            s.put(0, 1)                   # direct_spatial_mv_pred_flag (temporal)
+            s.put(self.direct_spatial_mv_pred_flag, 1)
         if self.slice_type in (SLICE_P, SLICE_B):
             override = int(
                 self.num_ref_idx_l0_active != pps.num_ref_idx_l0_active

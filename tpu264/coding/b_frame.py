@@ -1,17 +1,23 @@
-"""Wavefront B-frame encoder (JAX): bi-predictive 16x16 + intra modes.
+"""Wavefront B-frame encoder (JAX): bi-predictive 16x16, spatial
+direct/skip, and intra modes.
 
 JM's B-slice `encode_one_macroblock` restructured like the P engine
 (`inter_frame.py`): both reference frames are full-searched and
 sub-pel-refined for every MB in parallel (phase 1), then the wavefront
 decision pass picks per MB among B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
-(average bi-prediction, weighted_bipred_idc 0) and the intra modes,
-with per-list median MV prediction carried through the scan exactly as
-the decoder derives it (spec 8.4.1.3: a neighbor not using list X
-contributes mv 0 / ref -1).
+(average bi-prediction, weighted_bipred_idc 0), B_Direct_16x16
+(spatial direct, spec 8.4.1.2.2 — the in-scan median predictors double
+as the direct MVs, with colZeroFlag zeroing supplied per MB from the
+list1 reference's stored motion), and the intra modes.  Per-list median
+MV prediction is carried through the scan exactly as the decoder
+derives it (spec 8.4.1.3: a neighbor not using list X contributes
+mv 0 / ref -1).  Direct MBs whose cbp is 0 are emitted as B_Skip by
+the serializers.
 
-Direct/skip modes are not yet emitted (coded streams carry explicit
-mvd per used list) — standard-legal; B_Skip/B_Direct land with the
-spatial-direct work.
+btype codes in the output dict: 0 = L0, 1 = L1, 2 = Bi, 3 = Direct,
+4 = intra; `use0`/`use1` are the FINAL per-list use flags (direct
+included) and mv0/mv1 the final per-list MVs — exactly the motion
+state a decoder reconstructs.
 """
 
 from __future__ import annotations
@@ -32,8 +38,9 @@ from .intra_frame import (CQP_J, ZZ_COLS, ZZ_ROWS, assemble_plane,
 from .inter_frame import PAD, mvd_bits
 from .wavefront import WaveSchedule
 
-# ue(mb_type) bit lengths for B_L0/B_L1/B_Bi (Table 7-14: 1, 2, 3)
-TYPE_BITS = (3, 5, 5)
+# ue(mb_type) bit lengths for B_L0/B_L1/B_Bi (Table 7-14 mb_type 1, 2, 3
+# → ue codewords '010', '011', '00100': 3, 3, 5 bits)
+TYPE_BITS = (3, 3, 5)
 
 
 def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
@@ -50,6 +57,8 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
     )
 
     def neighbor_mvs(mv_map, ref_map, r, c, al, at, atl, atr):
+        """Median MV predictor for ref 0 plus the spatial-direct
+        MinPositive flag (any A/B/C neighbor using this list)."""
         def gmv(rr, cc):
             return jax.lax.dynamic_slice(mv_map, (rr, cc, 0), (1, 1, 2))[0, 0]
 
@@ -75,7 +84,9 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         use_d = ref_c == mvpred.UNAVAIL
         mv_c = jnp.where(use_d[:, None], mv_d, mv_c)
         ref_c = jnp.where(use_d, ref_d, ref_c)
-        return mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+        pred = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+        any_used = (ref_a == 0) | (ref_b == 0) | (ref_c == 0)
+        return pred, any_used
 
     def wave_body(planes0, planes1, c0u, c0v, c1u, c1v, qp, cqp,
                   lam4, lam24, lam_me, carry, x):
@@ -88,8 +99,10 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         (ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
          modes_top, modes_left) = gather_border_ctx(bd, r, c)
 
-        mv_pred0 = neighbor_mvs(mv0_map, ref0_map, r, c, al, at, atl, atr)
-        mv_pred1 = neighbor_mvs(mv1_map, ref1_map, r, c, al, at, atl, atr)
+        mv_pred0, nb_use0 = neighbor_mvs(mv0_map, ref0_map, r, c,
+                                         al, at, atl, atr)
+        mv_pred1, nb_use1 = neighbor_mvs(mv1_map, ref1_map, r, c,
+                                         al, at, atl, atr)
         mv_me0 = x["mv_me0"]
         mv_me1 = x["mv_me1"]
 
@@ -98,6 +111,23 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         pred0 = kint.mc_luma(planes0, y0, x0, mv_me0)
         pred1 = kint.mc_luma(planes1, y0, x0, mv_me1)
         pred_bi = (pred0 + pred1 + 1) >> 1
+
+        # ---- spatial direct candidate (spec 8.4.1.2.2) ----
+        # MinPositive refIdx per list collapses to "any neighbor uses the
+        # list" (single-ref encoder); colZeroFlag comes per MB from the
+        # list1 ref's stored motion (MB-constant in our streams, so the
+        # per-8x8 inference collapses to per-MB)
+        colzero = x["colzero"]
+        zero_pred = ~nb_use0 & ~nb_use1
+        duse0 = zero_pred | nb_use0
+        duse1 = zero_pred | nb_use1
+        dmv0 = jnp.where((zero_pred | colzero)[:, None], 0, mv_pred0)
+        dmv1 = jnp.where((zero_pred | colzero)[:, None], 0, mv_pred1)
+        pred_d0 = kint.mc_luma(planes0, y0, x0, dmv0)
+        pred_d1 = kint.mc_luma(planes1, y0, x0, dmv1)
+        pred_dir = jnp.where(
+            (duse0 & duse1)[:, None, None], (pred_d0 + pred_d1 + 1) >> 1,
+            jnp.where(duse0[:, None, None], pred_d0, pred_d1))
 
         def satd_of(pred):
             diff = gy - pred
@@ -109,6 +139,7 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         j0 = satd_of(pred0) + lam_me * (rb0 + TYPE_BITS[0])
         j1 = satd_of(pred1) + lam_me * (rb1 + TYPE_BITS[1])
         jbi = satd_of(pred_bi) + lam_me * (rb0 + rb1 + TYPE_BITS[2])
+        jd = satd_of(pred_dir) + lam_me * 1          # ue(0): 1 bit, no mvd
 
         # ---- intra candidates ----
         mb4, modebuf, modes_zz, coeffs4, j4 = eval_i4x4(
@@ -119,16 +150,21 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         j_intra = jnp.minimum(j16, j4)
         sel16 = j16 < j4
 
-        js = jnp.stack([j0, j1, jbi, j_intra + lam24], axis=1)
+        js = jnp.stack([j0, j1, jbi, jd, j_intra + lam24], axis=1)
         btype = jnp.argmin(js, axis=1).astype(jnp.int32)
-        is_inter = btype < 3
-        use0 = (btype == 0) | (btype == 2)
-        use1 = (btype == 1) | (btype == 2)
+        is_inter = btype < 4
+        is_direct = btype == 3
+        use0 = (btype == 0) | (btype == 2) | (is_direct & duse0)
+        use1 = (btype == 1) | (btype == 2) | (is_direct & duse1)
+        mv0_fin = jnp.where(is_direct[:, None], dmv0, mv_me0)
+        mv1_fin = jnp.where(is_direct[:, None], dmv1, mv_me1)
         is_i16 = (~is_inter) & sel16
 
-        pred_inter = jnp.where((btype == 0)[:, None, None], pred0,
-                               jnp.where((btype == 1)[:, None, None],
-                                         pred1, pred_bi))
+        pred_inter = jnp.where(
+            (btype == 0)[:, None, None], pred0,
+            jnp.where((btype == 1)[:, None, None], pred1,
+                      jnp.where((btype == 2)[:, None, None], pred_bi,
+                                pred_dir)))
 
         resid = gy - pred_inter
         blk = resid.reshape(b, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
@@ -156,9 +192,16 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         for cpad0, cpad1 in ((c0u, c1u), (c0v, c1v)):
             p0 = kint.mc_chroma(cpad0, cy0, cx0, mv_me0)
             p1 = kint.mc_chroma(cpad1, cy0, cx0, mv_me1)
-            cpred.append(jnp.where((btype == 0)[:, None, None], p0,
-                                   jnp.where((btype == 1)[:, None, None],
-                                             p1, (p0 + p1 + 1) >> 1)))
+            d0 = kint.mc_chroma(cpad0, cy0, cx0, dmv0)
+            d1 = kint.mc_chroma(cpad1, cy0, cx0, dmv1)
+            pdir = jnp.where((duse0 & duse1)[:, None, None],
+                             (d0 + d1 + 1) >> 1,
+                             jnp.where(duse0[:, None, None], d0, d1))
+            cpred.append(jnp.where(
+                (btype == 0)[:, None, None], p0,
+                jnp.where((btype == 1)[:, None, None], p1,
+                          jnp.where((btype == 2)[:, None, None],
+                                    (p0 + p1 + 1) >> 1, pdir))))
         inter_u = chroma_residual_recon(gu, cpred[0], cqp, intra=False)
         inter_v = chroma_residual_recon(gv, cpred[1], cqp, intra=False)
         chroma = []
@@ -175,15 +218,16 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         bd = update_border_ctx(bd, r, c, recon_mb, chroma[0][0],
                                chroma[1][0], mode_tiles)
         mv0_map = mv0_map.at[r + 1, c + 1].set(
-            jnp.where(use0[:, None], mv_me0, 0), mode="drop")
+            jnp.where(use0[:, None], mv0_fin, 0), mode="drop")
         ref0_map = ref0_map.at[r + 1, c + 1].set(
             jnp.where(use0, 0, mvpred.INTRA), mode="drop")
         mv1_map = mv1_map.at[r + 1, c + 1].set(
-            jnp.where(use1[:, None], mv_me1, 0), mode="drop")
+            jnp.where(use1[:, None], mv1_fin, 0), mode="drop")
         ref1_map = ref1_map.at[r + 1, c + 1].set(
             jnp.where(use1, 0, mvpred.INTRA), mode="drop")
 
-        ys = dict(btype=btype, mv0=mv_me0, mv1=mv_me1,
+        ys = dict(btype=btype, mv0=mv0_fin, mv1=mv1_fin,
+                  use0=use0, use1=use1,
                   sel16=is_i16, i16mode=m16, modes=modes_zz, cmode=cmode,
                   luma_ac=luma_ac, luma_dc=luma_dc,
                   chroma_dc=jnp.stack([chroma[0][1], chroma[1][1]], axis=1),
@@ -192,7 +236,7 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         return (bd, mv0_map, ref0_map, mv1_map, ref1_map), ys
 
     @jax.jit
-    def encode(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, qp):
+    def encode(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero, qp):
         y = y.astype(jnp.int32)
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
@@ -219,6 +263,7 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         zref = jnp.full((1 + hm, 1 + wm + 1), mvpred.UNAVAIL, jnp.int32)
         gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
         xs_full = dict(xs, mv_me0=mvs[0][idx], mv_me1=mvs[1][idx],
+                       colzero=colzero.astype(bool)[idx],
                        gy=gy_all, gu=gu_all, gv=gv_all)
         carry, ys = jax.lax.scan(
             lambda cr, xx: wave_body(planes0, planes1, c0u, c0v, c1u, c1v,

@@ -48,17 +48,20 @@ class CabacSliceParser:
         """
         eng, st, sid = self.eng, self.st, self.sid
         use0 = use1 = False
+        direct = False
         if b_slice:
             mbt = cs.decode_mb_type_b(eng, st.ctx_mb_type_b(mr, mc, sid))
-            if mbt == 0:
-                raise NotImplementedError("B_Direct_16x16")
-            inter = mbt < 23
-            if inter:
+            if mbt == 0:               # B_Direct_16x16
+                direct = True
+                inter = True
+            else:
+                inter = mbt < 23
+            if inter and not direct:
                 if mbt not in (1, 2, 3):
                     raise NotImplementedError(f"B mb_type {mbt}")
                 use0 = mbt in (1, 3)
                 use1 = mbt in (2, 3)
-            else:
+            elif not inter:
                 mbt -= 23
         elif not p_slice:
             st.start_mb(mr, mc, sid)
@@ -71,11 +74,13 @@ class CabacSliceParser:
             if not inter:
                 mbt -= 5
         out = {"mb_type": mbt, "inter": inter,
-               "use0": use0, "use1": use1}
+               "use0": use0, "use1": use1, "direct": direct}
         if not inter and mbt == 25:
             raise NotImplementedError("I_PCM")
 
-        if inter:
+        if direct:
+            kind = cs.K_DIRECT
+        elif inter:
             if not b_slice and mbt != 0:
                 raise NotImplementedError(f"P mb_type {mbt} (partitions)")
             kind = cs.K_INTER
@@ -98,6 +103,10 @@ class CabacSliceParser:
             cpm = cs.decode_cpm(eng, st.ctx_cpm(mr, mc, sid))
             st.cpm[mr, mc] = cpm
             out["cmode"] = cpm
+        if kind == cs.K_DIRECT:
+            # no ref idx / mvd syntax; neighbors see |mvd| 0
+            st.absmvd[mr, mc] = 0
+            st.absmvd1[mr, mc] = 0
         if kind == cs.K_INTER:
             if b_slice:
                 st.absmvd[mr, mc] = 0

@@ -31,10 +31,17 @@ class RefPic:
     """One DPB entry: reconstructed planes + interpolation pads on demand
     (JM `mbuffer.c` StorablePicture — SURVEY.md §2a #8)."""
 
-    def __init__(self, y, u, v, frame_num: int, poc: int):
+    def __init__(self, y, u, v, frame_num: int, poc: int, uid: int = 0,
+                 col_mv=None, col_ref=None):
         self.y, self.u, self.v = y, u, v
         self.frame_num = frame_num
         self.poc = poc
+        self.uid = uid            # unique picture id (deblock bS identity)
+        self.short_term = True    # no long-term marking yet
+        # colocated motion for B direct derivation (spec 8.4.1.2.2):
+        # per-4x4 mvCol / refIdxCol (intra blocks stored as 0 / 0)
+        self.col_mv = col_mv
+        self.col_ref = col_ref
         self._planes = None
         self._u_pad = None
         self._v_pad = None
@@ -83,6 +90,10 @@ class PictureState:
                             dtype=np.int64)
         self.ref4 = np.full((2, self.hm * 4, self.wm * 4), mvpred.UNAVAIL,
                             dtype=np.int64)
+        # per-list reference-PICTURE uid per 4x4 (-1 = list unused /
+        # intra); feeds the two-list deblock bS (spec 8.7.2.1)
+        self.pid4 = np.full((2, self.hm * 4, self.wm * 4), -1,
+                            dtype=np.int64)
         self.n_decoded = 0
         self.cabac_state = None
         self.qp_mb = np.full((self.hm, self.wm), -1, dtype=np.int64)
@@ -90,13 +101,15 @@ class PictureState:
         self.frame_num = 0
         self.is_ref = True
 
-    def set_motion(self, lx, g4r, g4c, h4b, w4b, mv, ref):
+    def set_motion(self, lx, g4r, g4c, h4b, w4b, mv, ref, pid: int = -1):
         self.mv4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = mv
         self.ref4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = ref
+        self.pid4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = pid
 
     def set_intra_mb(self, mr, mc):
         self.mv4[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
         self.ref4[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = mvpred.INTRA
+        self.pid4[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = -1
 
 
 class Decoder:
@@ -114,6 +127,7 @@ class Decoder:
         self._list1: list[RefPic] = []
         self._epoch = 0               # IDR count (POC restarts)
         self._seq = 0                 # decode-order tiebreak for poc ties
+        self._next_uid = 0            # RefPic uid allocator
         # poc type 0 state (spec 8.2.1.1)
         self._prev_poc_msb = 0
         self._prev_poc_lsb = 0
@@ -151,8 +165,20 @@ class Decoder:
             self._out.append((self._epoch, key, self._seq, planes))
             self._seq += 1
             if pic.is_ref:
+                # colocated motion (spec 8.4.1.2.2): list0 where used,
+                # else list1; intra blocks -> mvCol = 0, refIdxCol = -1
+                # (colZeroFlag is never set over intra colocated blocks)
+                use0 = pic.ref4[0] >= 0
+                use1 = pic.ref4[1] >= 0
+                col_mv = np.where(use0[..., None], pic.mv4[0],
+                                  np.where(use1[..., None], pic.mv4[1], 0))
+                col_ref = np.where(use0, pic.ref4[0],
+                                   np.where(use1, pic.ref4[1], -1))
                 self._dpb.append(RefPic(planes[0], planes[1], planes[2],
-                                        pic.frame_num, pic.poc))
+                                        pic.frame_num, pic.poc,
+                                        uid=self._next_uid,
+                                        col_mv=col_mv, col_ref=col_ref))
+                self._next_uid += 1
                 # sliding window: evict the oldest short-term ref
                 while len(self._dpb) > max(1, self.sps.max_num_ref_frames):
                     self._dpb.pop(0)
@@ -233,9 +259,11 @@ class Decoder:
             self._pic.is_ref = hdr.nal_ref_idc != 0
         if hdr.slice_type in (SLICE_P, SLICE_B):
             self._build_ref_lists(hdr, self._pic.poc)
-        if hdr.slice_type == SLICE_B and \
-                getattr(hdr, "direct_spatial_mv_pred_flag", 0):
-            raise NotImplementedError("spatial direct")
+        if hdr.slice_type == SLICE_B:
+            # temporal direct (flag 0) needs MV scaling — unsupported; the
+            # error surfaces only when a direct/skip MB is encountered
+            self._direct_spatial = bool(
+                getattr(hdr, "direct_spatial_mv_pred_flag", 0))
         self._slice_counter += 1
         sid = self._slice_counter
         pic = self._pic
@@ -267,8 +295,10 @@ class Decoder:
                 run = read_ue(r)
                 for _ in range(run):
                     if is_b:
-                        raise NotImplementedError("B_Skip (direct)")
-                    self._decode_mb_skip(pic, addr, sid, qp)
+                        self._decode_mb_b_direct(r, pic, addr, qp, sid,
+                                                 skip=True)
+                    else:
+                        self._decode_mb_skip(pic, addr, sid, qp)
                     addr += 1
                     pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
@@ -311,10 +341,12 @@ class Decoder:
             mr, mc = addr // pic.wm, addr % pic.wm
             pic.slice_id[mr, mc] = sid
             if (p_slice or b_slice) and parser.mb_skip(mr, mc, b_slice):
-                if b_slice:
-                    raise NotImplementedError("B_Skip (direct)")
                 parser.note_skip(mr, mc)
-                self._decode_mb_skip(pic, addr, sid, qp)
+                if b_slice:
+                    self._decode_mb_b_direct(None, pic, addr, qp, sid,
+                                             skip=True)
+                else:
+                    self._decode_mb_skip(pic, addr, sid, qp)
             else:
                 mbv = parser.parse_mb(mr, mc, p_slice, cb,
                                       b_slice=b_slice)
@@ -337,6 +369,23 @@ class Decoder:
         atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
         cbp_l, cbp_c = mbv["cbp_luma"], mbv["cbp_chroma"]
 
+        if mbv.get("direct"):
+            pred_y, pred_u, pred_v = self._direct_mc_store(pic, mr, mc,
+                                                           sid)
+            recon = np.zeros((16, 16), dtype=np.int64)
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                scanned = mbv["luma4"][idx]
+                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+                rt.clip1(pred_y + recon)
+            self._recon_chroma_vals(pic, mr, mc, qp, mbv,
+                                    (pred_u, pred_v))
+            return
+
         if mbv["inter"] and b_slice:
             preds = []
             for lx, use in ((0, mbv["use0"]), (1, mbv["use1"])):
@@ -348,8 +397,9 @@ class Decoder:
                 pred = self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4,
                                           4, 4, sid)
                 mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-                pic.set_motion(lx, mr * 4, mc * 4, 4, 4, mv, 0)
                 reflist = self._list0 if lx == 0 else self._list1
+                pic.set_motion(lx, mr * 4, mc * 4, 4, 4, mv, 0,
+                               pid=reflist[0].uid)
                 preds.append(self._mc_recon(pic, mr, mc, mv, reflist[0]))
             if len(preds) == 2:
                 pred_y, pred_u, pred_v = (
@@ -374,7 +424,8 @@ class Decoder:
             mvd_y, mvd_x = mbv["mvd"]
             pred = self._mv_pred(pic, mr, mc, sid)
             mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-            pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0)
+            pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0,
+                           pid=self._list0[0].uid)
             pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
             pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
             recon = np.zeros((16, 16), dtype=np.int64)
@@ -721,9 +772,13 @@ class Decoder:
     # ------------------------------------------------------ deblocking
 
     def _deblock_picture(self, pic: PictureState):
-        """Apply the in-loop filter to a completed picture (spec 8.7)."""
+        """Apply the in-loop filter to a completed picture (spec 8.7),
+        two-list bS derivation (B-aware, 8.7.2.1)."""
         from tpu264.ref import deblock as rdb
-        intra_mb = pic.ref4[0, ::4, ::4] == mvpred.INTRA
+        # intra MBs mark BOTH lists INTRA; an inter MB always uses >= 1
+        # list (a list-unused marker alone is not intra)
+        intra_mb = ((pic.ref4[0, ::4, ::4] == mvpred.INTRA)
+                    & (pic.ref4[1, ::4, ::4] == mvpred.INTRA))
         left_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
         top_ok = np.zeros((pic.hm, pic.wm), dtype=bool)
         left_ok[:, 1:] = True
@@ -734,9 +789,11 @@ class Decoder:
         qp_g = np.where(pic.qp_mb >= 0, pic.qp_mb, pic.qp)
         cqp_tab = np.array([rt.chroma_qp(q, self.pps.chroma_qp_index_offset)
                             for q in range(52)], dtype=np.int64)
+        mv2 = np.moveaxis(pic.mv4, 0, 2)       # [h4, w4, 2(list), 2]
+        pid2 = np.moveaxis(pic.pid4, 0, 2)     # [h4, w4, 2]
         y, u, v = rdb.deblock_frame(
             pic.y, pic.u, pic.v, qp_g, cqp_tab[np.clip(qp_g, 0, 51)],
-            intra_mb, pic.luma_tc, pic.mv4[0], pic.ref4[0],
+            intra_mb, pic.luma_tc, mv2, pid2,
             left_ok, top_ok)
         pic.y, pic.u, pic.v = y, u, v
 
@@ -811,54 +868,100 @@ class Decoder:
 
     # ------------------------------------------------------ B slices
 
-    def _mv_pred_list(self, pic, mr, mc, sid, lx: int):
-        """16x16 median MV predictor over list-lx neighbor state
-        (spec 8.4.1.3; neighbors not using list lx: mv 0, ref -1)."""
-        return self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4, 4, 4, sid)
+    def _direct_spatial_motion(self, pic, mr, mc, sid):
+        """Spatial direct motion for one MB (spec 8.4.1.2.2), per-8x8
+        colZeroFlag with direct_8x8_inference (corner 4x4 colocated
+        blocks in RefPicList1[0]).
 
-    def _decode_mb_b(self, r: BitReader, pic: PictureState, addr: int,
-                     qp: int, sid: int):
-        """B macroblock (16x16 L0/L1/Bi + intra; Table 7-14)."""
-        mb_type = read_ue(r)
-        if mb_type >= 23:
-            return self._decode_mb_i(r, pic, addr, qp, sid,
-                                     mb_type=mb_type - 23)
-        if mb_type not in (1, 2, 3):
-            raise NotImplementedError(f"B mb_type {mb_type}")
+        Returns (ref0, ref1, mv0_8 [4, 2], mv1_8 [4, 2]); refX = -1 when
+        list X is unused."""
+        if not getattr(self, "_direct_spatial", True):
+            raise NotImplementedError("temporal direct (MV scaling)")
+        refidx = []
+        for lx in (0, 1):
+            (_, ra), (_, rb), (_, rc) = self._mv_neighbors(
+                pic, lx, mr * 4, mc * 4, 4, sid)
+            cand = [x for x in (ra, rb, rc) if x >= 0]
+            refidx.append(min(cand) if cand else -1)
+        r0, r1 = refidx
+        mv0 = np.zeros((4, 2), dtype=np.int64)
+        mv1 = np.zeros((4, 2), dtype=np.int64)
+        if r0 < 0 and r1 < 0:          # directZeroPredictionFlag
+            return 0, 0, mv0, mv1
+        mvp = [np.zeros(2, np.int64), np.zeros(2, np.int64)]
+        for lx, ri in ((0, r0), (1, r1)):
+            if ri >= 0:
+                mvp[lx] = self._mv_pred_part(pic, lx, ri, mr * 4, mc * 4,
+                                             4, 4, sid)
+        col = self._list1[0]
+        for b8 in range(4):
+            cr = mr * 4 + (0 if b8 < 2 else 3)
+            cc = mc * 4 + (0 if b8 % 2 == 0 else 3)
+            colzero = (col.short_term and int(col.col_ref[cr, cc]) == 0
+                       and (np.abs(col.col_mv[cr, cc]) <= 1).all())
+            if r0 >= 0 and not (r0 == 0 and colzero):
+                mv0[b8] = mvp[0]
+            if r1 >= 0 and not (r1 == 0 and colzero):
+                mv1[b8] = mvp[1]
+        return r0, r1, mv0, mv1
+
+    def _direct_mc_store(self, pic, mr, mc, sid):
+        """Spatial-direct motion derivation + MC for one MB: stores the
+        per-8x8 motion into the picture maps and returns the prediction
+        planes (pred_y 16x16, pred_u/v 8x8)."""
+        r0, r1, mv0, mv1 = self._direct_spatial_motion(pic, mr, mc, sid)
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+        for b8 in range(4):
+            dr4, dc4 = (b8 // 2) * 2, (b8 % 2) * 2
+            preds = []
+            for lx, ri, mv in ((0, r0, mv0[b8]), (1, r1, mv1[b8])):
+                lst = self._list0 if lx == 0 else self._list1
+                if ri >= 0:
+                    pic.set_motion(lx, mr * 4 + dr4, mc * 4 + dc4, 2, 2,
+                                   mv, ri, pid=lst[ri].uid)
+                    preds.append(self._mc_part(
+                        pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4, 8, 8,
+                        mv, lst[ri]))
+                else:
+                    pic.set_motion(lx, mr * 4 + dr4, mc * 4 + dc4, 2, 2,
+                                   0, mvpred.INTRA)
+            if len(preds) == 2:
+                py, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*preds))
+            else:
+                py, pu, pv = preds[0]
+            pred_y[dr4 * 4:dr4 * 4 + 8, dc4 * 4:dc4 * 4 + 8] = py
+            pred_u[dr4 * 2:dr4 * 2 + 4, dc4 * 2:dc4 * 2 + 4] = pu
+            pred_v[dr4 * 2:dr4 * 2 + 4, dc4 * 2:dc4 * 2 + 4] = pv
+        return pred_y, pred_u, pred_v
+
+    def _decode_mb_b_direct(self, r, pic, addr: int, qp: int, sid: int,
+                            skip: bool):
+        """B_Skip (skip=True) / B_Direct_16x16: spatial direct motion,
+        optional residual."""
         mr, mc = addr // pic.wm, addr % pic.wm
         pic.slice_id[mr, mc] = sid
-        use0 = mb_type in (1, 3)
-        use1 = mb_type in (2, 3)
-        mvs = [None, None]
-        for lx, use in ((0, use0), (1, use1)):
-            if not use:
-                continue
-            mvd_x = read_se(r)
-            mvd_y = read_se(r)
-            pred = self._mv_pred_list(pic, mr, mc, sid, lx)
-            mvs[lx] = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-        pic.set_motion(0, mr * 4, mc * 4, 4, 4,
-                       mvs[0] if use0 else 0,
-                       0 if use0 else mvpred.INTRA)
-        pic.set_motion(1, mr * 4, mc * 4, 4, 4,
-                       mvs[1] if use1 else 0,
-                       0 if use1 else mvpred.INTRA)
+        pred_y, pred_u, pred_v = self._direct_mc_store(pic, mr, mc, sid)
+        if skip:
+            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = pred_y
+            pic.u[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_u
+            pic.v[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_v
+            pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+            pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 0
+            pic.qp_mb[mr, mc] = qp
+            return qp
+        return self._parse_inter_residual(
+            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid)
 
+    def _parse_inter_residual(self, r, pic, mr, mc, qp, preds, sid):
+        """Shared inter-MB tail: cbp, mb_qp_delta, luma residual, chroma
+        residual, plane store.  Returns the (possibly updated) qp."""
         cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp > 0:
             qp = qp + read_se(r)
-        if use0 and use1:
-            p0 = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
-            p1 = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
-            pred_y, pred_u, pred_v = ((a + b + 1) >> 1
-                                      for a, b in zip(p0, p1))
-        elif use0:
-            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mvs[0],
-                                                    self._list0[0])
-        else:
-            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mvs[1],
-                                                    self._list1[0])
+        pred_y, pred_u, pred_v = preds
         recon = np.zeros((16, 16), dtype=np.int64)
         for idx, (by, bx) in enumerate(BLK_ORDER):
             gr, gc = mr * 4 + by, mc * 4 + bx
@@ -880,6 +983,54 @@ class Decoder:
         pic.qp_mb[mr, mc] = qp
         return qp
 
+    def _mv_pred_list(self, pic, mr, mc, sid, lx: int):
+        """16x16 median MV predictor over list-lx neighbor state
+        (spec 8.4.1.3; neighbors not using list lx: mv 0, ref -1)."""
+        return self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4, 4, 4, sid)
+
+    def _decode_mb_b(self, r: BitReader, pic: PictureState, addr: int,
+                     qp: int, sid: int):
+        """B macroblock (16x16 L0/L1/Bi + intra; Table 7-14)."""
+        mb_type = read_ue(r)
+        if mb_type >= 23:
+            return self._decode_mb_i(r, pic, addr, qp, sid,
+                                     mb_type=mb_type - 23)
+        if mb_type == 0:               # B_Direct_16x16
+            return self._decode_mb_b_direct(r, pic, addr, qp, sid,
+                                            skip=False)
+        if mb_type not in (1, 2, 3):
+            raise NotImplementedError(f"B mb_type {mb_type}")
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        mvs = [None, None]
+        for lx, use in ((0, use0), (1, use1)):
+            if not use:
+                continue
+            mvd_x = read_se(r)
+            mvd_y = read_se(r)
+            pred = self._mv_pred_list(pic, mr, mc, sid, lx)
+            mvs[lx] = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+        pic.set_motion(0, mr * 4, mc * 4, 4, 4,
+                       mvs[0] if use0 else 0,
+                       0 if use0 else mvpred.INTRA,
+                       pid=self._list0[0].uid if use0 else -1)
+        pic.set_motion(1, mr * 4, mc * 4, 4, 4,
+                       mvs[1] if use1 else 0,
+                       0 if use1 else mvpred.INTRA,
+                       pid=self._list1[0].uid if use1 else -1)
+
+        if use0 and use1:
+            p0 = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
+            p1 = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
+            preds = tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+        elif use0:
+            preds = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
+        else:
+            preds = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
+        return self._parse_inter_residual(r, pic, mr, mc, qp, preds, sid)
+
     def _decode_mb_skip(self, pic, addr: int, sid: int,
                         qp: int | None = None):
         mr, mc = addr // pic.wm, addr % pic.wm
@@ -887,7 +1038,8 @@ class Decoder:
         if qp is not None:
             pic.qp_mb[mr, mc] = qp
         mv = self._skip_mv(pic, mr, mc, sid)
-        pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0)
+        pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0,
+                       pid=self._list0[0].uid)
         pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
         pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = pred_y
@@ -963,7 +1115,7 @@ class Decoder:
                                           g4c + dc4, h4b, w4b, sid)
                 mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
                 pic.set_motion(0, g4r + dr4, g4c + dc4, h4b, w4b, mv,
-                               ref_idx)
+                               ref_idx, pid=self._list0[ref_idx].uid)
                 mc_into(dr4, dc4, h4b, w4b, mv, ref_idx)
         else:                          # 3 / 4: P_8x8 / P_8x8ref0
             subs = [read_ue(r) for _ in range(4)]
@@ -983,34 +1135,12 @@ class Decoder:
                         g4c + bc4 + dc4, h4b, w4b, sid)
                     mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
                     pic.set_motion(0, g4r + br4 + dr4, g4c + bc4 + dc4,
-                                   h4b, w4b, mv, refs[b8])
+                                   h4b, w4b, mv, refs[b8],
+                                   pid=self._list0[refs[b8]].uid)
                     mc_into(br4 + dr4, bc4 + dc4, h4b, w4b, mv, refs[b8])
 
-        cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
-        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        if cbp > 0:
-            qp = qp + read_se(r)
-        # luma residual (16-coeff blocks, inter)
-        recon = np.zeros((16, 16), dtype=np.int64)
-        for idx, (by, bx) in enumerate(BLK_ORDER):
-            gr, gc = mr * 4 + by, mc * 4 + bx
-            if (cbp_luma >> (idx // 4)) & 1:
-                ncv = self._nc_luma(pic, gr, gc, sid)
-                scanned = cavlc.decode_block(r, ncv, 16)
-                pic.luma_tc[gr, gc] = (scanned != 0).sum()
-            else:
-                scanned = np.zeros(16, dtype=np.int64)
-                pic.luma_tc[gr, gc] = 0
-            coeff = np.zeros(16, dtype=np.int64)
-            coeff[rt.ZIGZAG_4x4] = scanned
-            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                rt.residual_block_recon(coeff.reshape(4, 4), qp)
-        pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
-            rt.clip1(pred_y + recon)
-        self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
-                                 (pred_u, pred_v), sid)
-        pic.qp_mb[mr, mc] = qp
-        return qp
+        return self._parse_inter_residual(
+            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid)
 
     def _recon_chroma_inter(self, r, pic, mr, mc, qp, cbp_chroma, preds, sid):
         cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)

@@ -31,7 +31,7 @@ import numpy as np
 from tpu264.coding.wavefront import BLK_ORDER
 from . import mb_syntax
 from .cabac_ctx import (CBF_CAT_OFF, LVL_CAT_OFF, SIG_CAT_OFF,
-                        K_SKIP, K_INTER, K_I4, K_I16)
+                        K_SKIP, K_INTER, K_I4, K_I16, K_DIRECT)
 
 K_CTX, K_BYP, K_TERM = 0, 1, 2
 
@@ -173,11 +173,15 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     """
     n = wm * hm
     sel16_raw = np.asarray(mb["sel16"]).astype(bool)
+    is_direct = np.zeros(n, bool)
     if b_slice:
         btype = np.asarray(mb["btype"], np.int64)
-        is_inter = btype < 3
-        use0 = (btype == 0) | (btype == 2)
-        use1 = (btype == 1) | (btype == 2)
+        is_inter = btype < 4
+        is_direct = btype == 3
+        use0 = np.asarray(mb["use0"]).astype(bool)   # final (incl. direct)
+        use1 = np.asarray(mb["use1"]).astype(bool)
+        exp0 = (btype == 0) | (btype == 2)           # explicit-mvd lists
+        exp1 = (btype == 1) | (btype == 2)
     else:
         is_inter = (np.asarray(mb["is_inter"]).astype(bool) if p_slice
                     else np.zeros(n, bool))
@@ -223,10 +227,16 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
         mv_skip = np.asarray(mb["mv_skip"], np.int64)
         skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
     elif b_slice:
-        mvds[0] = list_mvd(np.asarray(mb["mv0"], np.int64), use0)
-        mvds[1] = list_mvd(np.asarray(mb["mv1"], np.int64), use1)
-        uses = [use0, use1]
-        skipped = np.zeros(n, bool)
+        # predictor maps use the FINAL use flags / motion (direct MBs
+        # participate as neighbors); mvd is coded for explicit lists only
+        mvds[0] = np.where(exp0[:, None],
+                           list_mvd(np.asarray(mb["mv0"], np.int64), use0),
+                           0)
+        mvds[1] = np.where(exp1[:, None],
+                           list_mvd(np.asarray(mb["mv1"], np.int64), use1),
+                           0)
+        uses = [exp0, exp1]
+        skipped = is_direct & (cbp == 0)
     else:
         skipped = np.zeros(n, bool)
     mvd = mvds[0]
@@ -235,8 +245,10 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
     # ---- final-state neighbor grids (2D [hm, wm]) ----
     kind_g = np.where(skipped, K_SKIP,
-                      np.where(is_inter, K_INTER,
-                               np.where(sel16, K_I16, K_I4))).reshape(hm, wm)
+                      np.where(is_direct, K_DIRECT,
+                               np.where(is_inter, K_INTER,
+                                        np.where(sel16, K_I16, K_I4)))) \
+        .reshape(hm, wm)
     cbp_l_g = np.where(coded, cbp_luma, 0).reshape(hm, wm)
     cbp_c_g = np.where(coded, cbp_chroma, 0).reshape(hm, wm)
     cpm_g = np.where(is_i4 | sel16, cmode, 0).reshape(hm, wm)
@@ -267,24 +279,29 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
         grid.ctx_bin((11 + ns_l + ns_t).reshape(n),
                      skipped.astype(np.int32), np.ones(n, bool))
     elif b_slice:
-        grid.ctx_bin((24 + ns_l + ns_t).reshape(n), 0, np.ones(n, bool))
+        grid.ctx_bin((24 + ns_l + ns_t).reshape(n),
+                     skipped.astype(np.int32), np.ones(n, bool))
 
     # ---- mb_type ----
     intra_coded = coded & intra_cur
     if b_slice:
-        # Table 9-37: bin0 ctx 27+inc (neighbor coded non-direct), then
-        # L0='100', L1='101' (ctx 30, 32), Bi='11'+0000 (ctx 30,31,32x3),
-        # intra prefix '11'+1101 then the I tree on ctx 32/33/34/35
-        nd_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
-        nd_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
+        # Table 9-37: bin0 ctx 27+inc (neighbor coded non-direct/skip);
+        # Direct='0'; L0='100', L1='101' (ctx 30, 32), Bi='11'+0000
+        # (ctx 30,31,32x3), intra prefix '11'+1101 then the I tree on
+        # ctx 32/33/34/35
+        nd_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)
+                & (left(kind_g, K_SKIP) != K_DIRECT)).astype(np.int32)
+        nd_t = (av_t & (top(kind_g, K_SKIP) != K_SKIP)
+                & (top(kind_g, K_SKIP) != K_DIRECT)).astype(np.int32)
         inc = (nd_l + nd_t).reshape(n)
-        inter_coded = coded & is_inter
-        grid.ctx_bin(27 + inc, 1, coded)              # never B_Direct
-        one_list = inter_coded & (btype < 2)
+        explicit = coded & ~is_direct
+        inter_exp = explicit & is_inter
+        grid.ctx_bin(27 + inc, (~is_direct).astype(np.int32), coded)
+        one_list = inter_exp & (btype < 2)
         grid.ctx_bin(30, ((btype == 2) | ~is_inter).astype(np.int32),
-                     coded)
+                     explicit)
         grid.ctx_bin(32, (btype == 1).astype(np.int32), one_list)
-        tail = coded & ((btype == 2) | ~is_inter)     # 4-bin suffix
+        tail = explicit & ((btype == 2) | ~is_inter)  # 4-bin suffix
         bits13 = np.where(is_inter, 0, 13)            # Bi -> 0, intra -> 13
         grid.ctx_bin(31, ((bits13 >> 3) & 1).astype(np.int32), tail)
         grid.ctx_bin(32, ((bits13 >> 2) & 1).astype(np.int32), tail)

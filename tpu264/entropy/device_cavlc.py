@@ -522,17 +522,22 @@ MB_SLOTS_B = HDR_SLOTS_B + 27 * SLOTS_PER_BLOCK
 
 
 def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
-    """B-frame element grids (16x16 L0/L1/Bi + intra, no skip/direct).
+    """B-frame element grids (16x16 L0/L1/Bi, spatial direct/skip, intra).
 
-    `mb` carries btype (0=L0, 1=L1, 2=Bi, >=3 intra), mv0, mv1 plus the
-    shared intra/residual fields.  Bitstream order mirrors
-    decode.decoder._decode_mb_b.  Returns (values, lengths).
+    `mb` carries btype (0=L0, 1=L1, 2=Bi, 3=Direct, >=4 intra), final
+    per-list motion mv0/mv1 with use0/use1 flags (direct included), plus
+    the shared intra/residual fields.  Direct MBs with cbp 0 become
+    B_Skip runs.  Bitstream order mirrors decode.decoder._decode_mb_b.
+    Returns (values, lengths, skipped [n] bool).
     """
     n = wm * hm
     btype = mb["btype"].astype(jnp.int32)
-    is_inter = btype < 3
-    use0 = (btype == 0) | (btype == 2)
-    use1 = (btype == 1) | (btype == 2)
+    is_inter = btype < 4
+    is_direct = btype == 3
+    exp0 = (btype == 0) | (btype == 2)     # lists with explicit mvd
+    exp1 = (btype == 1) | (btype == 2)
+    use0 = mb["use0"].astype(bool)
+    use1 = mb["use1"].astype(bool)
     sel16 = mb["sel16"].astype(bool) & ~is_inter
     vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
     lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
@@ -540,28 +545,48 @@ def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
     cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
         sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
 
-    # mb_skip_run: always 0 (ue(0) = '1')
-    vals[0] = jnp.ones(n, jnp.int32)
-    lens[0] = jnp.ones(n, jnp.int32)
+    skipped = is_direct & (cbp == 0)
+    coded = ~skipped
+
+    # mb_skip_run per coded MB (same prefix-scan as the P serializer)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slice_first = np.zeros(n, dtype=np.int32)
+    rows = [int(r) for r in slice_rows] + [hm]
+    for s in range(len(rows) - 1):
+        slice_first[rows[s] * wm: rows[s + 1] * wm] = rows[s] * wm
+    slice_first = jnp.asarray(slice_first)
+    coded_pos = jnp.where(coded, pos, -1)
+    prev_coded = jax.lax.associative_scan(jnp.maximum, coded_pos)
+    prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                 prev_coded[:-1]])
+    prev_excl = jnp.maximum(prev_excl, slice_first - 1)
+    skip_run = pos - prev_excl - 1
+    src, srl = ue_code_j(skip_run)
+    vals[0] = jnp.where(coded, src.astype(jnp.int32), 0)
+    lens[0] = jnp.where(coded, srl, 0)
 
     mbt_intra = 23 + jnp.where(sel16,
                                1 + mb["i16mode"].astype(jnp.int32)
                                + 4 * cbp_chroma + 12 * (cbp_luma > 0), 0)
-    mbt = jnp.where(is_inter, btype + 1, mbt_intra)
+    mbt = jnp.where(is_direct, 0,
+                    jnp.where(is_inter, btype + 1, mbt_intra))
     tc_, tl_ = ue_code_j(mbt)
-    vals[1] = tc_.astype(jnp.int32)
-    lens[1] = tl_
+    vals[1] = jnp.where(coded, tc_.astype(jnp.int32), 0)
+    lens[1] = jnp.where(coded, tl_, 0)
 
-    is_i4 = ~is_inter & ~sel16
+    is_i4 = coded & ~is_inter & ~sel16
     _i4_mode_slots_j(vals, lens, 2, mb, is_i4, wm, hm, slice_rows)
 
+    intra_coded = coded & ~is_inter
     cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
-    vals[18] = jnp.where(~is_inter, cmc.astype(jnp.int32), 0)
-    lens[18] = jnp.where(~is_inter, cml, 0)
+    vals[18] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
+    lens[18] = jnp.where(intra_coded, cml, 0)
 
-    # per-list mvd (x then y), predictors from final per-list maps
-    for lx, (mv_key, use, slot0) in enumerate(
-            (("mv0", use0, 19), ("mv1", use1, 21))):
+    # per-list mvd (x then y): predictors from the FINAL per-list maps
+    # (direct motion participates as a neighbor); mvd written only for
+    # the explicit lists of non-direct inter MBs
+    for mv_key, use, exp, slot0 in (("mv0", use0, exp0, 19),
+                                    ("mv1", use1, exp1, 21)):
         mv = mb[mv_key].astype(jnp.int32)
         mv_map = jnp.where(use[:, None], mv, 0).reshape(hm, wm, 2)
         ref_map = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
@@ -573,22 +598,23 @@ def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
         mvd = mv - mv_pred
         for k, comp in ((slot0, 1), (slot0 + 1, 0)):
             code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
-            vals[k] = jnp.where(use, code.astype(jnp.int32), 0)
-            lens[k] = jnp.where(use, ln, 0)
+            vals[k] = jnp.where(exp, code.astype(jnp.int32), 0)
+            lens[k] = jnp.where(exp, ln, 0)
 
     ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
     cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
-    vals[23] = jnp.where(is_inter, cp.astype(jnp.int32),
+    inter_coded = coded & is_inter
+    vals[23] = jnp.where(inter_coded, cp.astype(jnp.int32),
                          jnp.where(is_i4, ci.astype(jnp.int32), 0))
-    lens[23] = jnp.where(is_inter, lp_, jnp.where(is_i4, li_, 0))
+    lens[23] = jnp.where(inter_coded, lp_, jnp.where(is_i4, li_, 0))
 
-    has_delta = sel16 | (cbp > 0)
+    has_delta = coded & (sel16 | (cbp > 0))
     vals[24] = jnp.where(has_delta, 1, 0)
     lens[24] = jnp.where(has_delta, 1, 0)
 
     _residual_slots_j(vals, lens, HDR_SLOTS_B, mb, sel16, cbp_luma,
                       cbp_chroma, wm, hm, slice_rows)
-    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1)
+    return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1), skipped
 
 
 # ---------------------------------------------------------------- packing

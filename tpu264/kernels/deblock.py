@@ -82,21 +82,29 @@ def filter_chroma_lines(win, bs, alpha: int, beta: int, tc0_row):
 
 
 def compute_bs_maps(intra_mb, tc_luma, mv, ref):
-    """jnp version of ref.deblock.compute_bs_maps → (bs_v, bs_h)."""
+    """jnp version of ref.deblock.compute_bs_maps → (bs_v, bs_h).
+
+    Accepts the same motion forms as the scalar reference: single-list
+    (mv [..., 2] / ref [...]) or two-list B motion (mv [..., 2, 2] /
+    ref [..., 2] per-list picture ids, -1 = unused)."""
     hm, wm = intra_mb.shape
     h4, w4 = hm * 4, wm * 4
     intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, axis=0), 4, axis=1)
-    mv4 = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)
-    ref4 = jnp.repeat(jnp.repeat(ref, 4, axis=0), 4, axis=1)
+    if mv.ndim == 3:
+        mv, ref = rd.as_two_list_motion(mv, ref, xp=jnp)
+    if mv.shape[0] == hm:
+        mv4 = jnp.repeat(jnp.repeat(mv, 4, axis=0), 4, axis=1)
+        ref4 = jnp.repeat(jnp.repeat(ref, 4, axis=0), 4, axis=1)
+    else:
+        mv4, ref4 = mv, ref
 
     def edge_bs(pi, qi, pt, qt, pm, qm, pr, qr, mb_edge):
         either_intra = pi | qi
         coeff = (pt > 0) | (qt > 0)
-        mvd = (jnp.abs(pm - qm) >= 4).any(axis=-1)
-        refd = pr != qr
+        interd = rd.inter_bs1_mask(pm, pr, qm, qr, xp=jnp)
         return jnp.where(either_intra, jnp.where(mb_edge, 4, 3),
                          jnp.where(coeff, 2,
-                                   jnp.where(mvd | refd, 1, 0))).astype(jnp.int32)
+                                   jnp.where(interd, 1, 0))).astype(jnp.int32)
 
     bs_v = jnp.zeros((h4, w4), jnp.int32)
     cols = np.arange(1, w4)

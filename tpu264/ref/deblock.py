@@ -113,6 +113,67 @@ def filter_chroma_lines(win: np.ndarray, bs: np.ndarray, alpha: int,
     return out
 
 
+def inter_bs1_mask(mv_p, pid_p, mv_q, pid_q, xp=np):
+    """bS-1 trigger for an inter/inter edge with two-list motion (spec
+    8.7.2.1): different reference-picture sets / MV counts, or a >= 4
+    quarter-pel component delta under the picture-wise MV pairing.
+
+    mv_*: [..., 2, 2] (list axis, then (y, x)); pid_*: [..., 2] unique
+    reference-*picture* ids per list, -1 = list unused.  `xp` lets the
+    jnp deblock kernel reuse the identical derivation.
+    """
+    use_p, use_q = pid_p >= 0, pid_q >= 0
+    n_p = use_p.sum(-1)
+    n_q = use_q.sum(-1)
+    big_pid = 1 << 20
+    lo_p = xp.where(use_p, pid_p, big_pid).min(-1)
+    hi_p = xp.where(use_p, pid_p, -1).max(-1)
+    lo_q = xp.where(use_q, pid_q, big_pid).min(-1)
+    hi_q = xp.where(use_q, pid_q, -1).max(-1)
+    sets_differ = (n_p != n_q) | (lo_p != lo_q) | (hi_p != hi_q)
+
+    def far(d):                      # any component >= 4 quarter-pel
+        return (xp.abs(d) >= 4).any(-1)
+
+    # sides using exactly one list: compare the single used mv
+    mv1_p = (mv_p * use_p[..., None]).sum(-2)
+    mv1_q = (mv_q * use_q[..., None]).sum(-2)
+    d_one = far(mv1_p - mv1_q)
+    # both bi-predicted from two distinct pictures: pair MVs by picture
+    mv_lo_p = xp.where((pid_p[..., 0] == lo_p)[..., None],
+                       mv_p[..., 0, :], mv_p[..., 1, :])
+    mv_hi_p = xp.where((pid_p[..., 1] == hi_p)[..., None],
+                       mv_p[..., 1, :], mv_p[..., 0, :])
+    mv_lo_q = xp.where((pid_q[..., 0] == lo_q)[..., None],
+                       mv_q[..., 0, :], mv_q[..., 1, :])
+    mv_hi_q = xp.where((pid_q[..., 1] == hi_q)[..., None],
+                       mv_q[..., 1, :], mv_q[..., 0, :])
+    d_two = far(mv_lo_p - mv_lo_q) | far(mv_hi_p - mv_hi_q)
+    # both bi-predicted from the SAME picture twice: bS 0 unless both the
+    # straight and the crossed pairings have a large delta
+    straight = (far(mv_p[..., 0, :] - mv_q[..., 0, :])
+                | far(mv_p[..., 1, :] - mv_q[..., 1, :]))
+    crossed = (far(mv_p[..., 0, :] - mv_q[..., 1, :])
+               | far(mv_p[..., 1, :] - mv_q[..., 0, :]))
+    both2 = (n_p == 2) & (n_q == 2)
+    same_pic = both2 & (lo_p == hi_p) & (lo_q == hi_q)
+    mv_differ = xp.where(same_pic, straight & crossed,
+                         xp.where(both2, d_two, d_one))
+    return sets_differ | mv_differ
+
+
+def as_two_list_motion(mv, ref, xp=np):
+    """Adapt single-list (mv [..., 2], ref [...]) motion to the two-list
+    (mv [..., 2, 2], pid [..., 2]) form: list0 pid = ref where inter
+    (intra/unused -> -1), list1 unused."""
+    mv = xp.asarray(mv)
+    ref = xp.asarray(ref)
+    mv2 = xp.stack([mv, xp.zeros_like(mv)], axis=-2)
+    pid2 = xp.stack([xp.where(ref >= 0, ref, -1),
+                     xp.full_like(ref, -1)], axis=-1)
+    return mv2, pid2
+
+
 def compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm):
     """Boundary strengths for all edges.
 
@@ -120,24 +181,33 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm):
     vertical edge at luma column 4*i for block row j (i == 0 column unused
     per MB; index i counts ALL 4x4 columns so MB-internal and MB edges mix
     naturally); bs_h analogous.
+
+    Motion comes either single-list (mv [..., 2], ref [...]: P/I slices,
+    ref doubling as the picture id) or two-list (mv [..., 2, 2] with a
+    list axis, ref [..., 2] = per-list picture ids, -1 = unused: B
+    slices), at MB or per-4x4 granularity.
     """
     h4, w4 = hm * 4, wm * 4
     intra4 = np.repeat(np.repeat(intra_mb, 4, axis=0), 4, axis=1)
-    # mv/ref may come MB-granular [hm, wm] or per-4x4 [h4, w4]
-    if np.asarray(mv).shape[0] == hm:
+    mv = np.asarray(mv)
+    ref = np.asarray(ref)
+    if mv.ndim == 3:                       # single-list -> two-list form
+        mv, ref = as_two_list_motion(mv, ref)
+    # mv/ref may come MB-granular [hm, wm, ...] or per-4x4 [h4, w4, ...]
+    if mv.shape[0] == hm:
         mv4 = np.repeat(np.repeat(mv, 4, axis=0), 4, axis=1)
-        ref4 = np.repeat(np.repeat(ref, 4, axis=0), 4, axis=1)
+        pid4 = np.repeat(np.repeat(ref, 4, axis=0), 4, axis=1)
     else:
-        mv4 = np.asarray(mv)
-        ref4 = np.asarray(ref)
+        mv4 = mv
+        pid4 = ref
 
     def edge_bs(p_sl, q_sl, mb_edge):
         either_intra = intra4[p_sl] | intra4[q_sl]
         coeff = (tc_luma[p_sl] > 0) | (tc_luma[q_sl] > 0)
-        mvd = (np.abs(mv4[p_sl] - mv4[q_sl]) >= 4).any(axis=-1)
-        refd = ref4[p_sl] != ref4[q_sl]
+        interd = inter_bs1_mask(mv4[p_sl], pid4[p_sl],
+                                mv4[q_sl], pid4[q_sl])
         return np.where(either_intra, np.where(mb_edge, 4, 3),
-                        np.where(coeff, 2, np.where(mvd | refd, 1, 0)))
+                        np.where(coeff, 2, np.where(interd, 1, 0)))
 
     bs_v = np.zeros((h4, w4), dtype=np.int64)
     bs_h = np.zeros((h4, w4), dtype=np.int64)
