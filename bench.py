@@ -62,6 +62,30 @@ def main() -> None:
     psnr_y = float(np.mean([s.psnr_y for s in enc.stats]))
     bitrate = sum(s.bits for s in enc.stats) / frames * 30 / 1e6
 
+    # config 2 (BASELINE.json): CIF IPPP, full-search 16x16 ME, CAVLC —
+    # with a Pallas-transform A/B (threshold dropped so the per-wave
+    # inter DCT+quant actually routes through the MXU kernel)
+    from tpu264.kernels import transform as kt
+    cif = [synth_frame(352, 288, t) for t in range(12)]
+    fps2 = {}
+    saved_min = kt._PALLAS_MIN_BLOCKS
+    for label, pallas, minblk in (("auto", None, saved_min),
+                                  ("on", True, 1),
+                                  ("off", False, saved_min)):
+        try:
+            kt._PALLAS_MIN_BLOCKS = minblk
+            cfg2 = EncoderConfig(width=352, height=288, qp=qp,
+                                 intra_period=0, use_pallas=pallas)
+            enc2 = Encoder(cfg2)
+            enc2.encode_sequence(cif[:4])     # warm I + P paths
+            t0 = time.monotonic()
+            enc2.encode_sequence(cif[4:])
+            fps2[label] = round(8 / (time.monotonic() - t0), 3)
+        except Exception as e:                # record, don't kill the bench
+            fps2[label] = f"error: {type(e).__name__}: {e}"[:120]
+        finally:
+            kt._PALLAS_MIN_BLOCKS = saved_min
+
     # config 3 (BASELINE.json): 720p Main, CABAC + in-loop deblocking
     cfg3 = EncoderConfig(width=1280, height=720, qp=qp,
                          symbol_mode="CABAC", deblock=True)
@@ -72,6 +96,21 @@ def main() -> None:
     t0 = time.monotonic()
     enc3.encode_sequence(s3[1:])
     fps3 = 3 / (time.monotonic() - t0)
+
+    # config 4 (BASELINE.json): 1080p Main, hierarchical B + qpel + rate
+    # control, CABAC + deblock, through the tile-sharded path (1 chip ->
+    # 1x1 mesh; same code drives multi-chip bands)
+    from tpu264.runtime.tiled import TiledEncoder, make_mesh
+    cfg4 = EncoderConfig(width=width, height=height, qp=qp,
+                         intra_period=0, num_b_frames=2,
+                         symbol_mode="CABAC", deblock=True,
+                         rate_control=True, bitrate=8_000_000)
+    te = TiledEncoder(cfg4, make_mesh(1, gop=1))
+    seq4 = [synth_frame(width, height, t) for t in range(13)]
+    te.encode_sequence([seq4[:4]])        # warm I/P/B paths
+    t0 = time.monotonic()
+    stream4 = te.encode_sequence([seq4[4:]])[0]
+    fps4 = 9 / (time.monotonic() - t0)
 
     print(json.dumps({
         "metric": "1080p_intra_frames_per_sec_per_chip",
@@ -85,7 +124,10 @@ def main() -> None:
             "resolution": f"{width}x{height}",
             "batch": batch,
             "compile_s": round(compile_s, 1),
+            "config2_cif_ippp_fps": fps2,
             "config3_720p_cabac_deblock_fps": round(fps3, 3),
+            "config4_1080p_hierB_cabac_rc_tiled_fps": round(fps4, 3),
+            "config4_mbps": round(8 * len(stream4) / 9 * 30 / 1e6, 2),
             "backend": _backend_name(),
         },
     }))

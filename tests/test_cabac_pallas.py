@@ -24,15 +24,18 @@ def _replay_python(kinds, aa, bb, table, qp):
     return eng.get_bytes()
 
 
-def _run_kernel(k, a, b, table, qp, n_pad=0):
+def _run_kernel(k, a, b, table, qp, n_pad=0, chunk=None):
+    from tpu264.entropy.cabac_binarize_j import pack_records
     cap = len(k) + n_pad
-    rec = np.zeros((1, cap, 3), np.int32)
-    rec[0, :len(k), 0] = k
-    rec[0, :len(k), 1] = a
-    rec[0, :len(k), 2] = b
+    if chunk is not None and cap % chunk:
+        cap += chunk - cap % chunk
+    rec = np.zeros((1, cap), np.int32)
+    rec[0, :len(k)] = np.asarray(pack_records(
+        jnp.asarray(k, jnp.int32), jnp.asarray(a, jnp.int32),
+        jnp.asarray(b, jnp.int32)))
     counts = np.array([len(k)], np.int32)
     init = cabac_pallas.init_packed_states(table, qp)
-    run = cabac_pallas.make_slice_encoder(cap, 8192)
+    run = cabac_pallas.make_slice_encoder(cap, 8192, chunk=chunk)
     words, nbytes = run(jnp.asarray(rec), jnp.asarray(counts),
                         jnp.asarray(init))
     return np.asarray(words)[0].astype(">u4").tobytes()[:int(nbytes[0])]
@@ -89,4 +92,36 @@ def test_kernel_on_real_frame_records():
     kk, aa, bb = cb.slice_records(k, a, b, val, wm, 0, hm)
     want = _replay_python(kk, aa, bb, 0, qp)
     got = _run_kernel(kk, aa, bb, 0, qp)
+    assert got == want
+
+
+def test_kernel_chunked_matches_python_engine():
+    """Record streaming in chunks (engine state persists in SMEM across
+    chunk grid steps) — required for slices larger than VMEM."""
+    rng = np.random.default_rng(9)
+    kinds, aa, bb = [], [], []
+    for _ in range(3000):
+        kk = int(rng.integers(0, 3))
+        if kk == 0:
+            kinds.append(0)
+            aa.append(int(rng.integers(0, 460)))
+            bb.append(int(rng.integers(0, 2))
+                      | (int(rng.integers(1, 14)) << 1))
+        elif kk == 1:
+            nb = int(rng.integers(1, 17))
+            kinds.append(1)
+            aa.append(int(rng.integers(0, 1 << nb)))
+            bb.append(nb)
+        else:
+            kinds.append(2)
+            aa.append(0)
+            bb.append(0)
+    kinds.append(2)
+    aa.append(1)
+    bb.append(0)
+    k = np.array(kinds, np.int8)
+    a = np.array(aa, np.int32)
+    b = np.array(bb, np.int32)
+    want = _replay_python(k, a, b, 1, 33)
+    got = _run_kernel(k, a, b, 1, 33, chunk=256)
     assert got == want

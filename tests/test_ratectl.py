@@ -51,3 +51,18 @@ def test_rc_stream_conforms():
         np.testing.assert_array_equal(fy, ry)
         np.testing.assert_array_equal(fu, ru)
         np.testing.assert_array_equal(fv, rv)
+
+
+def test_bgop_rate_control_accuracy():
+    """Hierarchical-B rate control (VERDICT r3 task #1): anchors absorb
+    the sub-GOP budget minus the B EMA; sequence error <= 8%."""
+    W, H = 96, 80
+    frames = [synth_frame(W, H, t) for t in range(33)]
+    for br in (150_000, 400_000):
+        cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                            num_b_frames=3, rate_control=True, bitrate=br)
+        enc = Encoder(cfg)
+        enc.encode_sequence(frames)
+        tot = sum(s.bits for s in enc.stats)
+        target = br * 33 / cfg.frame_rate
+        assert abs(tot - target) / target < 0.08, (br, tot, target)

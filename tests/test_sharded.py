@@ -54,3 +54,39 @@ def test_tiled_intra_matches_single_device_bitstream():
     finally:
         del os.environ["TPU264_BATCH"]
     assert streams[0] == ref
+
+
+@pytest.mark.parametrize("sym", ["CAVLC", "CABAC"])
+def test_tiled_config4_bgop_matches_single_device(sym):
+    """BASELINE config-4 shape through the mesh: hierarchical B + deblock
+    + (CAVLC|CABAC), 2 tile bands — byte-identical to the single-device
+    Encoder with slices_per_frame == n_tiles (VERDICT r3 task #1)."""
+    W, H = 96, 96
+    frames = [synth_frame(W, H, t) for t in range(9)]
+    cfg1 = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                         num_b_frames=3, symbol_mode=sym,
+                         slices_per_frame=2)
+    ref_stream = Encoder(cfg1).encode_sequence(frames)
+    cfg2 = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                         num_b_frames=3, symbol_mode=sym)
+    te = TiledEncoder(cfg2, make_mesh(2, gop=1))
+    assert te.encode_sequence([frames])[0] == ref_stream
+
+
+def test_tiled_bgop_rate_control():
+    """Config 4's rate controller through the tiled path: sequence rate
+    within 8% of target (per-lane JVT-G012, anchors absorb the sub-GOP
+    budget)."""
+    W, H = 96, 96
+    frames = [synth_frame(W, H, t) for t in range(17)]
+    br = 300_000
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                        num_b_frames=2, symbol_mode="CABAC",
+                        rate_control=True, bitrate=br)
+    te = TiledEncoder(cfg, make_mesh(2, gop=1))
+    stream = te.encode_sequence([frames])[0]
+    from tpu264.decode.decoder import decode_annexb
+    assert len(decode_annexb(stream)) == 17
+    target = br * 17 / cfg.frame_rate
+    actual = 8 * len(stream)
+    assert abs(actual - target) / target < 0.08, (actual, target)

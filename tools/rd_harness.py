@@ -77,14 +77,16 @@ def bd_rate(anchor, test):
 def main():
     frames = _seq()
     res = {"config": f"{W}x{H} synthetic IPPP, {NFR} frames, CAVLC",
-           "qps": list(QPS), "ours": [], "ours_b2": [],
+           "qps": list(QPS), "ours": [], "ours_b2": [], "ours_b3": [],
            "x264_ultrafast": [], "x264_veryslow": []}
     for qp in QPS:
         res["ours"].append(_ours(frames, qp))
         res["ours_b2"].append(_ours(frames, qp, num_b=2))
+        res["ours_b3"].append(_ours(frames, qp, num_b=3))
         res["x264_ultrafast"].append(_x264(frames, qp, "ultrafast"))
         res["x264_veryslow"].append(_x264(frames, qp, "veryslow"))
         print(f"qp={qp} ours={res['ours'][-1]} b2={res['ours_b2'][-1]} "
+              f"b3={res['ours_b3'][-1]} "
               f"uf={res['x264_ultrafast'][-1]} "
               f"vs={res['x264_veryslow'][-1]}", flush=True)
     res["bd_rate_vs_ultrafast_pct"] = bd_rate(res["x264_ultrafast"],
@@ -93,6 +95,13 @@ def main():
                                              res["ours"])
     res["bd_rate_b2_vs_ultrafast_pct"] = bd_rate(res["x264_ultrafast"],
                                                  res["ours_b2"])
+    res["bd_rate_b3_vs_ultrafast_pct"] = bd_rate(res["x264_ultrafast"],
+                                                 res["ours_b3"])
+    # hierarchical B must WIN vs our own IPPP (VERDICT r3 weak #4)
+    res["bd_rate_b2_vs_ours_ippp_pct"] = bd_rate(res["ours"],
+                                                 res["ours_b2"])
+    res["bd_rate_b3_vs_ours_ippp_pct"] = bd_rate(res["ours"],
+                                                 res["ours_b3"])
     out = os.path.join(REPO, "rd_results.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)

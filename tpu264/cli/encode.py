@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument("--metrics", help="write per-frame JSONL metrics here")
     ap.add_argument("--checkpoint", action="store_true",
                     help="GOP-granular checkpoint/resume (<out>.ckpt)")
+    ap.add_argument("--tiles", type=int, default=0,
+                    help="encode tile-sharded over a device mesh with N "
+                         "frame bands (BASELINE config 4 path)")
     args = ap.parse_args(argv)
 
     cfg = load_cfg(args.config) if args.config else EncoderConfig()
@@ -38,6 +41,19 @@ def main(argv=None) -> int:
     else:
         frames = list(read_yuv420(cfg.input_file, cfg.width, cfg.height,
                                   cfg.frames))
+    if args.tiles:
+        import time
+        from tpu264.runtime.tiled import TiledEncoder, make_mesh
+        mesh = make_mesh(args.tiles, gop=1)
+        enc = TiledEncoder(cfg, mesh)
+        t0 = time.monotonic()
+        stream = enc.encode_sequence([frames])[0]
+        dt = time.monotonic() - t0
+        with open(cfg.output_file, "wb") as f:
+            f.write(stream)
+        print(f"tiled encode: {len(frames)} frames, {8 * len(stream)} "
+              f"bits, {len(frames) / dt:.3f} fps -> {cfg.output_file}")
+        return 0
     enc = Encoder(cfg)
     if args.checkpoint:
         from tpu264.runtime.checkpoint import encode_gops

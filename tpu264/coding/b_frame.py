@@ -44,8 +44,11 @@ TYPE_BITS = (3, 3, 5)
 
 
 def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
-                   search_range: int = 16):
-    """fn(y,u,v, r0y,r0u,r0v, r1y,r1u,r1v, qp) -> (dev_out, ys)."""
+                   search_range: int = 16, ref_prepadded: bool = False):
+    """fn(y,u,v, r0y,r0u,r0v, r1y,r1u,r1v, colzero, qp) -> (dev_out, ys).
+
+    `ref_prepadded`: both refs arrive already PAD-extended (tiled path:
+    real ppermute'd halo rows instead of edge replication)."""
     wm, hm = sched.width_mbs, sched.height_mbs
     cqp_off = chroma_qp_offset
     rng = min(search_range, PAD - 8)
@@ -243,18 +246,27 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         qp = jnp.asarray(qp, jnp.int32)
         cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
         lam4, lam24, lam_me = lambda_terms_j(qp)
-        planes0 = kint.luma_planes(kint.pad_plane(r0y.astype(jnp.int32), PAD))
-        planes1 = kint.luma_planes(kint.pad_plane(r1y.astype(jnp.int32), PAD))
-        c0u = kint.pad_plane(r0u.astype(jnp.int32), PAD // 2)
-        c0v = kint.pad_plane(r0v.astype(jnp.int32), PAD // 2)
-        c1u = kint.pad_plane(r1u.astype(jnp.int32), PAD // 2)
-        c1v = kint.pad_plane(r1v.astype(jnp.int32), PAD // 2)
+        if ref_prepadded:
+            r0y_pad = r0y.astype(jnp.int32)
+            r1y_pad = r1y.astype(jnp.int32)
+            c0u = r0u.astype(jnp.int32)
+            c0v = r0v.astype(jnp.int32)
+            c1u = r1u.astype(jnp.int32)
+            c1v = r1v.astype(jnp.int32)
+        else:
+            r0y_pad = kint.pad_plane(r0y.astype(jnp.int32), PAD)
+            r1y_pad = kint.pad_plane(r1y.astype(jnp.int32), PAD)
+            c0u = kint.pad_plane(r0u.astype(jnp.int32), PAD // 2)
+            c0v = kint.pad_plane(r0v.astype(jnp.int32), PAD // 2)
+            c1u = kint.pad_plane(r1u.astype(jnp.int32), PAD // 2)
+            c1v = kint.pad_plane(r1v.astype(jnp.int32), PAD // 2)
+        planes0 = kint.luma_planes(r0y_pad)
+        planes1 = kint.luma_planes(r1y_pad)
 
         mvs = []
-        for ry, planes in ((r0y, planes0), (r1y, planes1)):
+        for ry_pad, planes in ((r0y_pad, planes0), (r1y_pad, planes1)):
             mv_int, _ = kme.full_search_16x16(
-                y, kint.pad_plane(ry.astype(jnp.int32), PAD), PAD, rng,
-                lam_me, wm, hm)
+                y, ry_pad, PAD, rng, lam_me, wm, hm)
             mvs.append(kme.subpel_refine(y, planes, PAD, mv_int, lam_me,
                                          wm, hm))
         idx = jnp.asarray(np.minimum(sched.mb_index, sched.n_mbs - 1))

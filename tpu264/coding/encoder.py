@@ -38,6 +38,91 @@ class FrameStats:
     seconds: float
 
 
+def build_bgop_plan(nfr: int, num_b: int, intra_period: int):
+    """Coding-order plan for B GOPs (shared by Encoder and TiledEncoder).
+
+    Returns a list of (display, kind, ref0, ref1, layer): kind "I"/"P"
+    anchors (layer 0), "Bref" pyramid midpoints, "B" leaves; layer is the
+    pyramid depth (1 = directly between anchors).  num_b >= 2 builds the
+    dyadic hierarchy (JM `explicit_gop.c`); IDR cadence counts display
+    frames (JM IntraPeriod), with chained-P tails before each closed-GOP
+    IDR."""
+    step = num_b + 1
+    hier = num_b >= 2
+    anchors = list(range(0, nfr, step))
+    if anchors[-1] != nfr - 1:
+        anchors.append(nfr - 1)
+
+    def fill_gap(lo, hi, plan, depth):
+        if hi - lo <= 1:
+            return
+        if not hier:
+            for d in range(lo + 1, hi):
+                plan.append((d, "B", lo, hi, depth))
+            return
+        mid = (lo + hi) // 2
+        is_ref = (mid - lo > 1) or (hi - mid > 1)
+        plan.append((mid, "Bref" if is_ref else "B", lo, hi, depth))
+        fill_gap(lo, mid, plan, depth + 1)
+        fill_gap(mid, hi, plan, depth + 1)
+
+    plan = []
+    prev = None
+    last_idr = 0
+    for ai, a in enumerate(anchors):
+        is_idr = ai == 0 or (intra_period > 1
+                             and a - last_idr >= intra_period)
+        if is_idr:
+            last_idr = a
+        if prev is None:
+            plan.append((a, "I", None, None, 0))
+        elif is_idr:
+            # closed GOP: an IDR flushes the DPB, so the gap frames
+            # before it cannot be coded after it — emit them as a
+            # chained-P tail in display order, then the IDR
+            for d in range(prev + 1, a):
+                plan.append((d, "P", d - 1, None, 0))
+            plan.append((a, "I", None, None, 0))
+        else:
+            plan.append((a, "P", prev, None, 0))
+            fill_gap(prev, a, plan, 1)
+        prev = a
+    return plan
+
+
+def build_params(cfg: EncoderConfig, gop_mode: str):
+    """SPS/PPS for a config + GOP mode (shared by Encoder and
+    TiledEncoder so tiled streams carry bit-identical parameter sets)."""
+    poc_type = 0 if gop_mode == "bgop" else 2
+    sps = SPS(
+        profile_idc=(77 if gop_mode == "bgop" and cfg.profile_idc == 66
+                     else cfg.profile_idc),
+        constraint_flags=(0xC0 if cfg.profile_idc == 66
+                          and gop_mode != "bgop" else 0),
+        level_idc=cfg.level_idc,
+        pic_order_cnt_type=poc_type,
+        max_num_ref_frames=max(
+            (4 if cfg.num_b_frames >= 2 else 2)
+            if gop_mode == "bgop" else 1, cfg.num_ref_frames),
+        pic_width_in_mbs=cfg.width_mbs,
+        pic_height_in_map_units=cfg.height_mbs,
+        num_reorder_frames=(None if gop_mode != "bgop"
+                            else (2 if cfg.num_b_frames >= 2 else 1)),
+    )
+    cabac = cfg.symbol_mode.upper() == "CABAC"
+    if cabac and sps.profile_idc == 66:
+        # CABAC requires Main/High (spec A.2.1); JM errors out — we
+        # upgrade the signalled profile instead
+        sps.profile_idc = 77
+        sps.constraint_flags = 0
+    pps = PPS(
+        entropy_coding_mode_flag=1 if cabac else 0,
+        pic_init_qp=26,
+        deblocking_filter_control_present_flag=1,
+    )
+    return sps, pps, cabac
+
+
 def psnr(orig: np.ndarray, recon: np.ndarray) -> float:
     mse = np.mean((orig.astype(np.float64) - recon.astype(np.float64)) ** 2)
     if mse == 0:
@@ -73,33 +158,7 @@ class Encoder:
                                     cfg.slices_per_frame)
         # B GOPs need display-order POC (type 0); I/P streams keep the
         # decode-order type 2 (bit-identical to earlier rounds)
-        poc_type = 0 if gop_mode == "bgop" else 2
-        self.sps = SPS(
-            profile_idc=(77 if gop_mode == "bgop" and cfg.profile_idc == 66
-                         else cfg.profile_idc),
-            constraint_flags=(0xC0 if cfg.profile_idc == 66
-                              and gop_mode != "bgop" else 0),
-            level_idc=cfg.level_idc,
-            pic_order_cnt_type=poc_type,
-            max_num_ref_frames=max(
-                (4 if cfg.num_b_frames >= 2 else 2)
-                if gop_mode == "bgop" else 1, cfg.num_ref_frames),
-            pic_width_in_mbs=cfg.width_mbs,
-            pic_height_in_map_units=cfg.height_mbs,
-            num_reorder_frames=(None if gop_mode != "bgop"
-                                else (2 if cfg.num_b_frames >= 2 else 1)),
-        )
-        self.cabac = cfg.symbol_mode.upper() == "CABAC"
-        if self.cabac and self.sps.profile_idc == 66:
-            # CABAC requires Main/High (spec A.2.1); JM errors out — we
-            # upgrade the signalled profile instead
-            self.sps.profile_idc = 77
-            self.sps.constraint_flags = 0
-        self.pps = PPS(
-            entropy_coding_mode_flag=1 if self.cabac else 0,
-            pic_init_qp=26,
-            deblocking_filter_control_present_flag=1,
-        )
+        self.sps, self.pps, self.cabac = build_params(cfg, gop_mode)
         self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
         self._encode_b = None
@@ -136,6 +195,40 @@ class Encoder:
         n_slices = cfg.slices_per_frame
         per_slice = (wm * hm) // n_slices
         cap_words = per_slice * 100      # 3200 bits/MB ceiling (spec A.3.1)
+        if self.cabac:
+            # device CABAC: binarize + per-slice record compaction run
+            # inside jit (cabac_binarize_j); the range coder is the
+            # Pallas lane-serial kernel on TPU, the native C replay on
+            # host backends.  The numpy binarizer remains the oracle and
+            # the fallback when a slice overflows the record cap.
+            from tpu264.entropy import cabac_binarize_j as cbj
+            from tpu264.entropy import cabac_pallas as cpal
+            chunk = 8192
+            cap = -(-per_slice * 768 // chunk) * chunk
+            self._cabac_cap = cap
+            self._cabac_chunk = chunk
+
+            def _mk(kind):
+                p_slice = kind == "p"
+                b_slice = kind == "b"
+
+                @jax.jit
+                def f(mbd):
+                    k, a, b, v, sk = cbj.binarize_frame_j(
+                        mbd, wm, hm, rows, 0, p_slice=p_slice,
+                        b_slice=b_slice)
+                    recs, counts = cbj.compact_slices_j(
+                        k, a, b, v, wm, rows, hm, cap)
+                    return recs, counts, sk
+                return f
+
+            self._crec = {"i": _mk("i"), "p": _mk("p"), "b": _mk("b")}
+            from tpu264.kernels import pallas_kernels as _pk
+            self._cabac_engine = None
+            if _pk.enabled() and cpal.engine_compiles():
+                self._cabac_engine = jax.jit(cpal.make_slice_encoder(
+                    cap, cap_words, chunk=chunk))
+            self._cabac_init = cpal.init_packed_states
         if not self.cabac:
             from tpu264.entropy import device_cavlc as dcav
             self._dcav = dcav
@@ -169,6 +262,51 @@ class Encoder:
                               jnp.abs(dy).sum()])
 
         self._sse3 = _sse3
+
+    def _cabac_payloads(self, mbd, qp: int, kind: str):
+        """CABAC slice payloads from the device record path.
+
+        Binarization + compaction ran on device; the arithmetic coder is
+        the Pallas lane-serial kernel (TPU) or the native C replay
+        (host).  Falls back to the host numpy binarizer if a slice
+        overflows the record cap (pathological content)."""
+        recs, counts, skipped = self._crec[kind](mbd)
+        counts_np = np.asarray(counts)
+        table = 0 if kind == "i" else 1
+        if int(counts_np.max()) > self._cabac_cap:
+            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
+            mb = jax_to_np(mbd)
+            payloads, sk = encode_frame_cabac_fast(
+                mb, self.cfg.width_mbs, self.cfg.height_mbs,
+                self.sched.slice_starts.tolist(), qp,
+                p_slice=(kind == "p"), b_slice=(kind == "b"))
+            return payloads, sk
+        init = self._cabac_init(table, qp)
+        if self._cabac_engine is not None:
+            words, nbytes = self._cabac_engine(recs, counts,
+                                               jnp.asarray(init))
+            words_np = np.asarray(words)
+            nb = np.asarray(nbytes)
+            payloads = [words_np[s].astype(">u4").tobytes()[:int(nb[s])]
+                        for s in range(words_np.shape[0])]
+        else:
+            from tpu264.entropy import cabac_native
+            from tpu264.entropy.cabac_binarize_j import unpack_records_np
+            # pow2-bucketed transfer: exact data-dependent slices would
+            # compile one XLA program per record count
+            need = int(counts_np.max())
+            bucket = 4096
+            while bucket < need:
+                bucket *= 2
+            bucket = min(bucket, self._cabac_cap)
+            recs_np = np.asarray(recs[:, :bucket])
+            payloads = []
+            for s, c in enumerate(counts_np):
+                kk, aa, bb = unpack_records_np(recs_np[s, :c])
+                payloads.append(cabac_native.encode_records(
+                    kk, aa.astype(np.int32), bb.astype(np.int32),
+                    table, qp))
+        return payloads, np.asarray(skipped)
 
     def _apply_deblock_j(self, dev_out, mbd, qp: int, is_inter=None,
                          mv=None, b_motion=None):
@@ -428,53 +566,14 @@ class Encoder:
         leaf non-reference Bs (JM `explicit_gop.c` hierarchical coding).
         P anchors carry a ref_pic_list_modification command so list0[0]
         stays the previous anchor (the default order would pick the most
-        recently decoded mid-B)."""
+        recently decoded mid-B).  B QPs follow the pyramid layer
+        (QPBSlice + layer - 1); with rate control, anchors take the
+        JVT-G012 QP and Bs offset from it."""
         cfg = self.cfg
         frames = list(frames)
         nfr = len(frames)
-        step = cfg.num_b_frames + 1
+        plan = build_bgop_plan(nfr, cfg.num_b_frames, cfg.intra_period)
         hier = cfg.num_b_frames >= 2
-        anchors = list(range(0, nfr, step))
-        if anchors[-1] != nfr - 1:
-            anchors.append(nfr - 1)
-
-        def fill_gap(lo, hi, plan):
-            if hi - lo <= 1:
-                return
-            if not hier:
-                for d in range(lo + 1, hi):
-                    plan.append((d, "B", lo, hi))
-                return
-            mid = (lo + hi) // 2
-            is_ref = (mid - lo > 1) or (hi - mid > 1)
-            plan.append((mid, "Bref" if is_ref else "B", lo, hi))
-            fill_gap(lo, mid, plan)
-            fill_gap(mid, hi, plan)
-
-        plan = []                      # (display, kind, ref0, ref1)
-        prev = None
-        period = cfg.intra_period
-        last_idr = 0
-        for ai, a in enumerate(anchors):
-            # JM IntraPeriod counts display frames (matching the ippp
-            # path and checkpoint.gop_starts): an anchor becomes an IDR
-            # once >= period frames have passed since the last IDR
-            is_idr = ai == 0 or (period > 1 and a - last_idr >= period)
-            if is_idr:
-                last_idr = a
-            if prev is None:
-                plan.append((a, "I", None, None))
-            elif is_idr:
-                # closed GOP: an IDR flushes the DPB, so the gap frames
-                # before it cannot be coded after it — emit them as a
-                # chained-P tail in display order, then the IDR
-                for d in range(prev + 1, a):
-                    plan.append((d, "P", d - 1, None))
-                plan.append((a, "I", None, None))
-            else:
-                plan.append((a, "P", prev, None))
-                fill_gap(prev, a, plan)
-            prev = a
 
         out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
                nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
@@ -488,20 +587,26 @@ class Encoder:
         last_ref_fn = 0
         max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
         max_fn = 1 << self.sps.log2_max_frame_num
-        for disp, kind, r0, r1 in plan:
+        anchor_qp = cfg.qp_inter
+        for disp, kind, r0, r1, layer in plan:
             t0 = time.monotonic()
             y, u, v = frames[disp]
             if kind == "I":
+                qp = self.rc.frame_qp("I") if self.rc else cfg.qp
+                anchor_qp = qp
                 disp_base = disp
                 poc = 0
                 nalus, recon = self.encode_intra_frame(
                     y, u, v, frame_num=0, idr_pic_id=idr_count % 2,
-                    poc_lsb=0)
+                    poc_lsb=0, qp=qp)
                 idr_count += 1
                 fn_of[disp] = 0
                 last_ref_fn = 0
                 fn = 1
             elif kind == "P":
+                qp = (self.rc.frame_qp("P", num_b=cfg.num_b_frames)
+                      if self.rc else cfg.qp_inter)
+                anchor_qp = qp
                 poc = (2 * (disp - disp_base)) % max_lsb
                 reorder = ()
                 if hier and fn_of.get(r0) is not None \
@@ -511,17 +616,22 @@ class Encoder:
                     reorder = ((0, diff - 1),)
                 nalus, recon = self.encode_p_frame(
                     y, u, v, self.recons[r0], frame_num=fn, poc_lsb=poc,
-                    reorder_l0=reorder)
+                    reorder_l0=reorder, qp=qp)
                 fn_of[disp] = fn
                 last_ref_fn = fn
                 fn = (fn + 1) % max_fn
             else:
+                # pyramid QP ladder: QPBSlice at layer 1, +1 per layer
+                # below; with RC the ladder rides the anchor QP
+                base_b = (min(anchor_qp + 2, 51) if self.rc
+                          else cfg.qp_bslice)
+                qp = min(base_b + layer - 1, 51)
                 poc = (2 * (disp - disp_base)) % max_lsb
                 is_ref = kind == "Bref"
                 nalus, recon = self.encode_b_frame(
                     y, u, v, self.recons[r0], self.recons[r1],
                     frame_num=fn, poc_lsb=poc, is_ref=is_ref,
-                    colzero=cz_of.get(r1))
+                    colzero=cz_of.get(r1), qp=qp)
                 if is_ref:
                     fn_of[disp] = fn
                     last_ref_fn = fn
@@ -536,6 +646,10 @@ class Encoder:
                 99.99 if s == 0 else
                 10 * np.log10(255.0 ** 2 * npx / float(s))
                 for s, npx in zip(st[:3], (y.size, u.size, v.size)))
+            if self.rc is not None:
+                self.rc.update("I" if kind == "I" else
+                               ("P" if kind == "P" else "B"),
+                               bits, float(st[3]) / y.size)
             stats[disp] = FrameStats(
                 disp, "IDR" if kind == "I" else kind, bits,
                 ps[0], ps[1], ps[2], time.monotonic() - t0)
@@ -598,12 +712,9 @@ class Encoder:
                                   & (xp.abs(mv) <= 1).all(axis=1))
 
         if self.cabac:
-            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
-            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
-            payloads, _ = encode_frame_cabac_fast(
-                mb, cfg.width_mbs, cfg.height_mbs,
-                self.sched.slice_starts.tolist(), qp, b_slice=True)
-            note_colzero(mb, np)
+            mbd = reorder_wave_outputs_j(self.sched, ys)
+            payloads, _ = self._cabac_payloads(mbd, qp, "b")
+            note_colzero(mbd, jnp)
             nalus = []
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
@@ -612,14 +723,14 @@ class Encoder:
                     2 if is_ref else 0, nal.NAL_SLICE,
                     sink.to_bytes() + payloads[s]))
             if cfg.deblock:
-                is_inter, bmo = b_motion_of(mb)
-                recon = self._apply_deblock(dev_out, mb, qp,
-                                            is_inter=is_inter,
-                                            b_motion=bmo)
+                is_inter, bmo = b_motion_of(mbd)
+                recon = self._apply_deblock_j(dev_out, mbd, qp,
+                                              is_inter=is_inter,
+                                              b_motion=bmo)
             else:
-                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
+                recon = (dev_out["recon_y"].astype(jnp.uint8),
+                         dev_out["recon_u"].astype(jnp.uint8),
+                         dev_out["recon_v"].astype(jnp.uint8))
             return nalus, recon
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits, skipped_d = self._ser_b(mbd)
@@ -680,21 +791,19 @@ class Encoder:
 
         nalus = []
         if self.cabac:
-            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
-            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
-            payloads, _ = encode_frame_cabac_fast(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows, qp)
+            mbd = reorder_wave_outputs_j(self.sched, ys)
+            payloads, _ = self._cabac_payloads(mbd, qp, "i")
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
                 sink.cabac_align()
                 nalus.append(nal.make_nalu(
                     3, nal.NAL_IDR, sink.to_bytes() + payloads[s]))
             if cfg.deblock:
-                recon = self._apply_deblock(dev_out, mb, qp)
+                recon = self._apply_deblock_j(dev_out, mbd, qp)
             else:
-                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
+                recon = (dev_out["recon_y"].astype(jnp.uint8),
+                         dev_out["recon_u"].astype(jnp.uint8),
+                         dev_out["recon_v"].astype(jnp.uint8))
             return nalus, recon
 
         mbd = reorder_wave_outputs_j(self.sched, ys)
@@ -744,28 +853,25 @@ class Encoder:
 
         nalus = []
         if self.cabac:
-            mb = jax_to_np(reorder_wave_outputs_j(self.sched, ys))
-            from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
-            payloads, skipped = encode_frame_cabac_fast(
-                mb, cfg.width_mbs, cfg.height_mbs, slice_rows,
-                qp, p_slice=True)
+            mbd = reorder_wave_outputs_j(self.sched, ys)
+            payloads, _ = self._cabac_payloads(mbd, qp, "p")
             self._last_colzero = (
-                mb["is_inter"].astype(bool)
-                & (np.abs(mb["mv"]) <= 1).all(axis=1))
+                mbd["is_inter"].astype(bool)
+                & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
             for s in range(cfg.slices_per_frame):
                 sink = hdr_sink(s)
                 sink.cabac_align()
                 nalus.append(nal.make_nalu(
                     2, nal.NAL_SLICE, sink.to_bytes() + payloads[s]))
             if cfg.deblock:
-                recon = self._apply_deblock(
-                    dev_out, mb, qp,
-                    is_inter=mb["is_inter"].astype(bool),
-                    mv=mb["mv"].astype(np.int64))
+                recon = self._apply_deblock_j(
+                    dev_out, mbd, qp,
+                    is_inter=mbd["is_inter"].astype(bool),
+                    mv=mbd["mv"].astype(jnp.int32))
             else:
-                recon = (np.asarray(dev_out["recon_y"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_u"], dtype=np.uint8),
-                         np.asarray(dev_out["recon_v"], dtype=np.uint8))
+                recon = (dev_out["recon_y"].astype(jnp.uint8),
+                         dev_out["recon_u"].astype(jnp.uint8),
+                         dev_out["recon_v"].astype(jnp.uint8))
             return nalus, recon
 
         mbd = reorder_wave_outputs_j(self.sched, ys)

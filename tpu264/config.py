@@ -32,6 +32,7 @@ class EncoderConfig:
     symbol_mode: str = "CAVLC"          # CAVLC | CABAC (JM `SymbolMode`)
     qp: int = 28                         # QPISlice
     qp_p: Optional[int] = None           # QPPSlice (defaults to qp)
+    qp_b: Optional[int] = None           # QPBSlice (defaults to qp_p + 2)
     intra_period: int = 1                # JM IntraPeriod: 1 = all-intra, 0 = first frame only, N = periodic IDR
     num_b_frames: int = 0                # JM NumberBFrames
     num_ref_frames: int = 1
@@ -49,6 +50,11 @@ class EncoderConfig:
     @property
     def qp_inter(self) -> int:
         return self.qp if self.qp_p is None else self.qp_p
+
+    @property
+    def qp_bslice(self) -> int:
+        """Layer-1 B QP (JM QPBSlice); deeper pyramid layers add +1."""
+        return min(self.qp_inter + 2, 51) if self.qp_b is None else self.qp_b
 
     @property
     def width_mbs(self) -> int:
@@ -81,6 +87,7 @@ _JM_KEYS = {
     "SymbolMode": ("symbol_mode", lambda s: "CABAC" if s.strip() in ("1", "CABAC") else "CAVLC"),
     "QPISlice": ("qp", int),
     "QPPSlice": ("qp_p", int),
+    "QPBSlice": ("qp_b", int),
     "IntraPeriod": ("intra_period", int),
     "NumberBFrames": ("num_b_frames", int),
     "NumberReferenceFrames": ("num_ref_frames", int),

@@ -535,23 +535,13 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
 def slice_records(k, a, b, v, wm: int, first_row: int, last_row: int):
     """Gather one slice's valid records in coding order (mb-major, slot-
-    minor) from the slot-major [S, n] grids — avoids transposing the
-    full ~150 MB grid (the transpose was the binarization hot spot)."""
+    minor) from the slot-major [S, n] grids.
+
+    One bool transpose + nonzero gives the mb-major order directly —
+    ~10x cheaper than the previous [S, n] int32 rank cumsum (the bool
+    mask is 1/4 the bytes and nonzero is a single scan)."""
     lo, hi = first_row * wm, last_row * wm
-    vsl = v[:, lo:hi]
-    s_idx, c_idx = np.nonzero(vsl)                    # slot-major order
-    # counting sort to mb-major: records of mb m land at
-    # offs[m] + (slot-major rank within column m)
-    cnt = vsl.sum(axis=0)
-    offs = np.concatenate([[0], np.cumsum(cnt[:-1])])
-    rank = np.cumsum(vsl, axis=0, dtype=np.int32)
-    pos = offs[c_idx] + rank[s_idx, c_idx] - 1
-    total = int(s_idx.size)
-    ko = np.empty(total, k.dtype)
-    ao = np.empty(total, a.dtype)
-    bo = np.empty(total, b.dtype)
+    vt = np.ascontiguousarray(v[:, lo:hi].T)          # [n_slice, S]
+    c_idx, s_idx = np.nonzero(vt)                     # mb-major order
     col = lo + c_idx
-    ko[pos] = k[s_idx, col]
-    ao[pos] = a[s_idx, col]
-    bo[pos] = b[s_idx, col]
-    return ko, ao, bo
+    return k[s_idx, col], a[s_idx, col], b[s_idx, col]

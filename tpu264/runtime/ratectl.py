@@ -43,10 +43,14 @@ class RateController:
         self.buffer = 0.0                        # virtual buffer fullness
         self.history: list[tuple[float, float, float]] = []  # (bits,mad,qstep)
         self.i_ratio = 3.0                       # I frames cost ~3x a P
+        self.avg_b = None                        # EMA of B-frame bits
         self._pending_qstep = None
 
     # ------------------------------------------------------------ per frame
-    def frame_qp(self, frame_type: str) -> int:
+    def frame_qp(self, frame_type: str, num_b: int = 0) -> int:
+        """QP for the next I/P frame.  `num_b`: B frames riding on this
+        anchor (hierarchical GOPs) — the anchor absorbs the whole
+        sub-GOP budget minus the expected B cost."""
         if self.mad_prev is None or frame_type == "I":
             # first frame / IDR: QP from bits-per-pixel heuristic (JM
             # InitialQP table spirit) anchored at the running average QP
@@ -57,8 +61,10 @@ class RateController:
         # error over ~2 frames (stronger than G012's slow gamma so the
         # integer-QP quantization dithers between adjacent QPs and the
         # long-run average tracks the target within a few percent)
-        target = self.bpf - self.buffer / 2.0
-        target = min(max(target, self.bpf * 0.1), self.bpf * 4.0)
+        gross = self.bpf * (1 + num_b)
+        exp_b = (num_b * self.avg_b) if (num_b and self.avg_b) else 0.0
+        target = gross - exp_b - self.buffer / 2.0
+        target = min(max(target, self.bpf * 0.1), gross * 4.0)
         # 2. MAD prediction
         mad = max(self.a1 * self.mad_prev + self.a2, 1e-3)
         # 3. solve c2/Q^2 + c1/Q - T/MAD = 0 for Qstep
@@ -72,7 +78,10 @@ class RateController:
             if qs <= 0:
                 qs = c1 / max(t, 1e-9)
         qp = int(round(qstep_to_qp(qs)))
-        qp = max(self.prev_qp - 2, min(self.prev_qp + 2, qp))
+        # JM clamps +-2 per coded frame; an anchor stands in for its
+        # whole 1 + num_b sub-GOP, so its step budget scales with it
+        step = 2 + num_b
+        qp = max(self.prev_qp - step, min(self.prev_qp + step, qp))
         qp = max(self.qp_min, min(self.qp_max, qp))
         self.prev_qp = qp
         self._pending_qstep = qp_to_qstep(qp)
@@ -83,6 +92,12 @@ class RateController:
         # lands in the buffer and is drained by the following frames, so
         # the TOTAL budget stays n_frames * bpf (<=5% tracking)
         self.buffer += bits - self.bpf
+        if frame_type == "B":
+            # B frames ride the buffer only: their R-Q behavior (higher
+            # QP, direct/skip-heavy) would pollute the P quadratic model
+            self.avg_b = (float(bits) if self.avg_b is None
+                          else 0.75 * self.avg_b + 0.25 * bits)
+            return
         mad = max(mad, 1e-3)
         qs = (self._pending_qstep if self._pending_qstep is not None
               else qp_to_qstep(self.prev_qp))
@@ -99,7 +114,7 @@ class RateController:
 
     # ----------------------------------------------------- checkpoint state
     _STATE_KEYS = ("bpf", "prev_qp", "curr_qp", "c1", "c2", "a1", "a2",
-                   "mad_prev", "buffer", "i_ratio")
+                   "mad_prev", "buffer", "i_ratio", "avg_b")
 
     def get_state(self) -> dict:
         """JSON-serializable snapshot (checkpoint/resume — SURVEY.md §5)."""
@@ -109,7 +124,7 @@ class RateController:
 
     def set_state(self, st: dict) -> None:
         for k in self._STATE_KEYS:
-            setattr(self, k, st[k])
+            setattr(self, k, st.get(k, getattr(self, k)))
         self.history = [tuple(h) for h in st["history"]]
         self._pending_qstep = None
 

@@ -10,6 +10,14 @@ in-loop deblock, CAVLC serialize + bit pack — runs inside one
 `shard_map`-ped step; the `gop` mesh axis carries independent sequences
 (data parallel).
 
+Round 4 (BASELINE.json config 4): the tiled path covers the full
+flagship configuration — I/P/B GOPs incl. the dyadic hierarchical
+pyramid (shared `build_bgop_plan`), CABAC (per-band host payloads from
+the sharded element grids), JVT-G012 rate control per sequence lane,
+and B deblocking with two-list bS.  Dual reference halos (past + future
+anchors) ride the same ppermute exchange; the colZeroFlag map for
+spatial direct stays sharded on device between frames.
+
 The tiled encode produces byte-identical bitstreams to a single-device
 encode with `slices_per_frame = n_tiles` (tests/test_sharded.py), which
 is the determinism/race gate of SURVEY.md §4.4.
@@ -22,8 +30,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpu264.coding.intra_frame import make_intra_encoder
+from tpu264.bits import nal as _nal
+from tpu264.bits.slicehdr import (SLICE_B as _SB, SLICE_I as _SI,
+                                  SLICE_P as _SP, SliceHeader as _SliceHeader)
+from tpu264.coding.b_frame import make_b_encoder
+from tpu264.coding.encoder import build_bgop_plan, build_params
+from tpu264.coding.inter_frame import PAD as _PAD, make_inter_encoder
+from tpu264.coding.intra_frame import (make_intra_encoder,
+                                       reorder_wave_outputs_j)
 from tpu264.coding.wavefront import build_schedule
+from tpu264.entropy import device_cavlc as _dcav
+from tpu264.entropy import slice_writer as _slice_writer
 
 
 def make_mesh(n_devices: int | None = None, gop: int | None = None):
@@ -37,36 +54,19 @@ def make_mesh(n_devices: int | None = None, gop: int | None = None):
     return Mesh(devs.reshape(gop, tile), ("gop", "tile"))
 
 
-# ======================================================================
-# Productionized tiled pipeline (round 3): full encode step per tile band
-# — wavefront encode + deblock + CAVLC serialize/pack INSIDE shard_map,
-# ref-frame halo rows exchanged via ppermute for P frames (SURVEY.md §2c),
-# bitstream assembled by the encoder.  Byte-identical to the single-device
-# Encoder with slices_per_frame == n_tiles (tests/test_sharded.py).
-# ======================================================================
-
-from tpu264.bits import nal as _nal
-from tpu264.bits.params import PPS as _PPS, SPS as _SPS
-from tpu264.bits.slicehdr import (SLICE_I as _SI, SLICE_P as _SP,
-                                  SliceHeader as _SliceHeader)
-from tpu264.coding.inter_frame import PAD as _PAD, make_inter_encoder
-from tpu264.coding.intra_frame import reorder_wave_outputs_j
-from tpu264.entropy import device_cavlc as _dcav
-from tpu264.entropy import slice_writer as _slice_writer
-
-
 class TiledEncoder:
-    """Mesh-sharded CAVLC encoder: `tile` axis = frame bands (H.264
-    slices), `gop` axis = independent sequences (data parallel).
+    """Mesh-sharded encoder: `tile` axis = frame bands (H.264 slices),
+    `gop` axis = independent sequences (data parallel).
 
-    encode_sequence(seqs) takes `G` sequences (lists of (y, u, v)) and
-    returns `G` Annex-B streams, each byte-identical to the single-device
-    `Encoder` output with slices_per_frame == n_tiles.
+    Supports all-intra / IPPP / hierarchical-B GOPs, CAVLC and CABAC,
+    rate control, and in-loop deblocking — BASELINE.json config 4 as one
+    runnable path.  encode_sequence(seqs) takes `G` sequences (lists of
+    (y, u, v)) and returns `G` Annex-B streams, each byte-identical to
+    the single-device `Encoder` output with slices_per_frame == n_tiles.
     """
 
     def __init__(self, cfg, mesh: Mesh, tile_axis: str = "tile",
                  gop_axis: str = "gop"):
-        from tpu264.coding.intra_frame import make_intra_encoder
         from tpu264.kernels import pallas_kernels as pk
         cfg.validate()
         pk.set_enabled(cfg.use_pallas if cfg.use_pallas is not None
@@ -84,10 +84,23 @@ class TiledEncoder:
         # margin must fit in one neighbor band
         assert self.band_hm >= 2, "tile bands need >= 2 MB rows"
         wm = cfg.width_mbs
+        self.wm = wm
         band_sched = build_schedule(wm, self.band_hm, 1)
         self.band_sched = band_sched
+        if cfg.num_b_frames > 0 and cfg.intra_period != 1:
+            self.gop_mode = "bgop"
+        elif cfg.intra_period == 1:
+            self.gop_mode = "intra"
+        else:
+            self.gop_mode = "ippp"
+        self.sps, self.pps, self.cabac = build_params(cfg, self.gop_mode)
         self._enc_i = make_intra_encoder(band_sched)
         self._enc_p = make_inter_encoder(band_sched,
+                                         search_range=cfg.search_range,
+                                         ref_prepadded=True)
+        self._enc_b = None
+        if self.gop_mode == "bgop":
+            self._enc_b = make_b_encoder(band_sched,
                                          search_range=cfg.search_range,
                                          ref_prepadded=True)
         self.deblock_idc = (1 if not cfg.deblock else 2)
@@ -96,20 +109,34 @@ class TiledEncoder:
             from tpu264.kernels.deblock import make_deblocker_skewed
             self._deblock = make_deblocker_skewed(
                 band_sched, filter_across_slices=False)
-        # mirrors Encoder's SPS/PPS for bit-identical headers
-        self.sps = _SPS(profile_idc=cfg.profile_idc,
-                        constraint_flags=0xC0 if cfg.profile_idc == 66 else 0,
-                        level_idc=cfg.level_idc, pic_order_cnt_type=2,
-                        max_num_ref_frames=max(1, cfg.num_ref_frames),
-                        pic_width_in_mbs=wm,
-                        pic_height_in_map_units=cfg.height_mbs)
-        self.pps = _PPS(entropy_coding_mode_flag=0, pic_init_qp=26,
-                        deblocking_filter_control_present_flag=1)
+        self.rcs = None
+        if cfg.rate_control and cfg.bitrate > 0:
+            from tpu264.runtime.ratectl import RateController
+            self.rcs = [RateController(
+                bitrate=cfg.bitrate, frame_rate=cfg.frame_rate,
+                n_mbs=wm * cfg.height_mbs, init_qp=cfg.qp)
+                for _ in range(self.gop_size)]
         cap_words = wm * self.band_hm * 100
         self._cap_words = cap_words
         rows = [0]
+        band_n = wm * self.band_hm
+        self._cengine = None
+        if self.cabac:
+            # device CABAC per band: binarize + compact inside the step;
+            # on TPU the Pallas lane-serial coder runs in-step too, so
+            # only packed payloads cross the link (BASELINE.json north
+            # star); host backends replay records through the C engine
+            from tpu264.entropy import cabac_pallas as _cpal
+            chunk = 8192
+            self._cabac_cap = -(-band_n * 768 // chunk) * chunk
+            self._cpal = _cpal
+            if pk.enabled() and _cpal.engine_compiles():
+                self._cengine = _cpal.make_slice_encoder(
+                    self._cabac_cap, cap_words, chunk=chunk)
 
-        def band_recon(dev_out, mbd, qp, is_inter=None, mv=None):
+        def band_recon(dev_out, mbd, qp, mode: str):
+            """Optional in-loop deblock of the band recon; `mode` picks
+            the bS motion form (i: none, p: single-list, b: two-list)."""
             if self._deblock is None:
                 return (dev_out["recon_y"].astype(jnp.uint8),
                         dev_out["recon_u"].astype(jnp.uint8),
@@ -118,21 +145,36 @@ class TiledEncoder:
             from tpu264.entropy.device_cavlc import (_compute_cbp_j,
                                                      luma_tc_grid_j)
             from tpu264.ref.transform import chroma_qp as _cqp_fn
-            n = wm * self.band_hm
+            bh = self.band_hm
             sel16 = mbd["sel16"].astype(bool)
-            if is_inter is None:
-                is_inter = jnp.zeros(n, dtype=bool)
             cbp_luma, _, _ = _compute_cbp_j(
                 sel16, mbd["luma_ac"].astype(jnp.int32), mbd["chroma_dc"],
                 mbd["chroma_ac"])
-            tc = luma_tc_grid_j(mbd, cbp_luma, wm, self.band_hm)
-            intra_mb = (~is_inter).reshape(self.band_hm, wm)
-            if mv is None:
-                mv = jnp.zeros((n, 2), dtype=jnp.int32)
-            mv_grid = jnp.where(is_inter[:, None], mv, 0).reshape(
-                self.band_hm, wm, 2)
-            ref_grid = jnp.where(is_inter, 0, mvpred.INTRA).reshape(
-                self.band_hm, wm)
+            tc = luma_tc_grid_j(mbd, cbp_luma, wm, bh)
+            if mode == "b":
+                btype = mbd["btype"]
+                is_inter = btype < 4
+                use0 = mbd["use0"].astype(bool)
+                use1 = mbd["use1"].astype(bool)
+                mv_grid = jnp.stack(
+                    [jnp.where(use0[:, None], mbd["mv0"], 0),
+                     jnp.where(use1[:, None], mbd["mv1"], 0)],
+                    axis=1).reshape(bh, wm, 2, 2).astype(jnp.int32)
+                ref_grid = jnp.stack(
+                    [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
+                    axis=1).reshape(bh, wm, 2).astype(jnp.int32)
+            elif mode == "p":
+                is_inter = mbd["is_inter"].astype(bool)
+                mv = mbd["mv"].astype(jnp.int32)
+                mv_grid = jnp.where(is_inter[:, None], mv, 0)\
+                    .reshape(bh, wm, 2)
+                ref_grid = jnp.where(is_inter, 0, mvpred.INTRA)\
+                    .reshape(bh, wm)
+            else:
+                is_inter = jnp.zeros(band_n, dtype=bool)
+                mv_grid = jnp.zeros((bh, wm, 2), jnp.int32)
+                ref_grid = jnp.full((bh, wm), mvpred.INTRA, jnp.int32)
+            intra_mb = (~is_inter).reshape(bh, wm)
             cqp_t = jnp.asarray(
                 np.array([_cqp_fn(q) for q in range(52)]), jnp.int32)[
                 jnp.clip(qp, 0, 51)]
@@ -142,73 +184,236 @@ class TiledEncoder:
             return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                     fv.astype(jnp.uint8))
 
+        def halo_ext(plane, pad):
+            """Extend a band vertically with real neighbor rows via a
+            ring ppermute (frame edges replicate), then pad laterally."""
+            t = jax.lax.axis_index(tile_axis)
+            n = n_tiles
+            if n > 1:
+                from_above = jax.lax.ppermute(
+                    plane[-pad:], tile_axis,
+                    [(i, (i + 1) % n) for i in range(n)])
+                from_below = jax.lax.ppermute(
+                    plane[:pad], tile_axis,
+                    [(i, (i - 1) % n) for i in range(n)])
+            else:
+                from_above = plane[-pad:]
+                from_below = plane[:pad]
+            top = jnp.where(t == 0,
+                            jnp.repeat(plane[:1], pad, axis=0),
+                            from_above)
+            bot = jnp.where(t == n - 1,
+                            jnp.repeat(plane[-1:], pad, axis=0),
+                            from_below)
+            ext = jnp.concatenate([top, plane, bot], axis=0)
+            return jnp.pad(ext, ((0, 0), (pad, pad)), mode="edge")
+
+        def ref_halos(ry, ru, rv):
+            return (halo_ext(ry.astype(jnp.int32), _PAD),
+                    halo_ext(ru.astype(jnp.int32), _PAD // 2),
+                    halo_ext(rv.astype(jnp.int32), _PAD // 2))
+
+        def payload_of(mbd, kind: str, qp=None):
+            """Per-band entropy payload on device (leading (gop, tile)
+            dims added for the out_specs): CAVLC words/bits + skip map;
+            CABAC: device binarize + compaction, then either the in-step
+            Pallas coder (TPU: payload words out) or the record streams
+            for the host C replay."""
+            if self.cabac:
+                from tpu264.entropy import cabac_binarize_j as cbj
+                k, a, b, v, _ = cbj.binarize_frame_j(
+                    mbd, wm, self.band_hm, rows, 0,
+                    p_slice=(kind == "p"), b_slice=(kind == "b"))
+                recs, counts = cbj.compact_slices_j(
+                    k, a, b, v, wm, rows, self.band_hm, self._cabac_cap)
+                if self._cengine is not None:
+                    table = 0 if kind == "i" else 1
+                    init = self._cpal.init_packed_states_j(table, qp)
+                    words, nbytes = self._cengine(recs, counts, init)
+                    return (words[None, None], nbytes[None, None],
+                            counts[None, None])
+                return (recs[None, None], counts[None, None])
+            if kind == "i":
+                v, l = _dcav.serialize_frame_j(mbd, wm, self.band_hm, rows)
+                skipped = jnp.zeros(band_n, dtype=bool)
+            elif kind == "p":
+                v, l, skipped = _dcav.serialize_frame_p_j(
+                    mbd, wm, self.band_hm, rows)
+            else:
+                v, l, skipped = _dcav.serialize_frame_b_j(
+                    mbd, wm, self.band_hm, rows)
+            words, nbits = _dcav.pack_slices_j(v, l, 1, cap_words)
+            return (words[None, None], nbits[None, None],
+                    skipped[None, None])
+
         def step_i(y, u, v, qp):
-            # local shapes [1(g), 1(t), band_h, W]
             y, u, v = y[0, 0], u[0, 0], v[0, 0]
+            qp = qp[0]
             dev_out, ys = self._enc_i(y, u, v, qp)
             mbd = reorder_wave_outputs_j(band_sched, ys)
-            words, nbits = _dcav.serialize_frame_j(
-                mbd, wm, self.band_hm, rows)
-            words, nbits = _dcav.pack_slices_j(words, nbits, 1, cap_words)
-            ry, ru, rv = band_recon(dev_out, mbd, qp)
-            z = jnp.zeros((1, 1, wm * self.band_hm), bool)
+            payload = payload_of(mbd, "i", qp)
+            ry, ru, rv = band_recon(dev_out, mbd, qp, "i")
+            colzero = jnp.zeros(band_n, dtype=bool)
+            sad = jnp.abs(y.astype(jnp.int32) - ry.astype(jnp.int32)).sum()
             return (ry[None, None], ru[None, None], rv[None, None],
-                    words[None, None], nbits[None, None], z)
+                    payload, colzero[None, None], sad[None, None])
 
         def step_p(y, u, v, ry, ru, rv, qp):
             y, u, v = y[0, 0], u[0, 0], v[0, 0]
-            ry = ry[0, 0].astype(jnp.int32)
-            ru = ru[0, 0].astype(jnp.int32)
-            rv = rv[0, 0].astype(jnp.int32)
-            t = jax.lax.axis_index(tile_axis)
-            n = n_tiles
-
-            def halo_ext(plane, pad):
-                if n > 1:
-                    from_above = jax.lax.ppermute(
-                        plane[-pad:], tile_axis,
-                        [(i, (i + 1) % n) for i in range(n)])
-                    from_below = jax.lax.ppermute(
-                        plane[:pad], tile_axis,
-                        [(i, (i - 1) % n) for i in range(n)])
-                else:
-                    from_above = plane[-pad:]
-                    from_below = plane[:pad]
-                top = jnp.where(t == 0,
-                                jnp.repeat(plane[:1], pad, axis=0),
-                                from_above)
-                bot = jnp.where(t == n - 1,
-                                jnp.repeat(plane[-1:], pad, axis=0),
-                                from_below)
-                ext = jnp.concatenate([top, plane, bot], axis=0)
-                return jnp.pad(ext, ((0, 0), (pad, pad)), mode="edge")
-
-            ry_pad = halo_ext(ry, _PAD)
-            ru_pad = halo_ext(ru, _PAD // 2)
-            rv_pad = halo_ext(rv, _PAD // 2)
+            qp = qp[0]
+            ry_pad, ru_pad, rv_pad = ref_halos(ry[0, 0], ru[0, 0], rv[0, 0])
             dev_out, ys = self._enc_p(y, u, v, ry_pad, ru_pad, rv_pad, qp)
             mbd = reorder_wave_outputs_j(band_sched, ys)
-            words, nbits, skipped = _dcav.serialize_frame_p_j(
-                mbd, wm, self.band_hm, rows)
-            words, nbits = _dcav.pack_slices_j(words, nbits, 1, cap_words)
-            ry2, ru2, rv2 = band_recon(
-                dev_out, mbd, qp, is_inter=mbd["is_inter"].astype(bool),
-                mv=mbd["mv"].astype(jnp.int32))
+            payload = payload_of(mbd, "p", qp)
+            ry2, ru2, rv2 = band_recon(dev_out, mbd, qp, "p")
+            colzero = (mbd["is_inter"].astype(bool)
+                       & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
+            sad = jnp.abs(y.astype(jnp.int32) - ry2.astype(jnp.int32)).sum()
             return (ry2[None, None], ru2[None, None], rv2[None, None],
-                    words[None, None], nbits[None, None],
-                    skipped[None, None])
+                    payload, colzero[None, None], sad[None, None])
+
+        def step_b(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero_in, qp):
+            y, u, v = y[0, 0], u[0, 0], v[0, 0]
+            qp = qp[0]
+            p0 = ref_halos(r0y[0, 0], r0u[0, 0], r0v[0, 0])
+            p1 = ref_halos(r1y[0, 0], r1u[0, 0], r1v[0, 0])
+            dev_out, ys = self._enc_b(y, u, v, *p0, *p1,
+                                      colzero_in[0, 0], qp)
+            mbd = reorder_wave_outputs_j(band_sched, ys)
+            payload = payload_of(mbd, "b", qp)
+            ry2, ru2, rv2 = band_recon(dev_out, mbd, qp, "b")
+            use0 = mbd["use0"].astype(bool)
+            use1 = mbd["use1"].astype(bool)
+            mvu = jnp.where(use0[:, None], mbd["mv0"], mbd["mv1"])
+            colzero = (use0 | use1) & (jnp.abs(mvu) <= 1).all(axis=1)
+            sad = jnp.abs(y.astype(jnp.int32) - ry2.astype(jnp.int32)).sum()
+            return (ry2[None, None], ru2[None, None], rv2[None, None],
+                    payload, colzero[None, None], sad[None, None])
 
         gspec = P(gop_axis, tile_axis, None, None)
-        out_spec = (gspec, gspec, gspec,
-                    P(gop_axis, tile_axis, None, None),
-                    P(gop_axis, tile_axis, None),
-                    P(gop_axis, tile_axis, None))
+        pt = P(gop_axis, tile_axis)
+        qspec = P(gop_axis)
+        out_spec = (gspec, gspec, gspec, pt, pt, pt)
         self._step_i = jax.jit(jax.shard_map(
-            step_i, mesh=mesh, in_specs=(gspec,) * 3 + (P(),),
+            step_i, mesh=mesh, in_specs=(gspec,) * 3 + (qspec,),
             out_specs=out_spec, check_vma=False))
         self._step_p = jax.jit(jax.shard_map(
-            step_p, mesh=mesh, in_specs=(gspec,) * 6 + (P(),),
+            step_p, mesh=mesh, in_specs=(gspec,) * 6 + (qspec,),
             out_specs=out_spec, check_vma=False))
+        if self._enc_b is not None:
+            self._step_b = jax.jit(jax.shard_map(
+                step_b, mesh=mesh,
+                in_specs=(gspec,) * 9 + (P(gop_axis, tile_axis, None),
+                                         qspec),
+                out_specs=out_spec, check_vma=False))
+
+    # ------------------------------------------------------------ host side
+
+    def _shard_frame(self, seqs, i):
+        G = len(seqs)
+        y = np.stack([np.asarray(seqs[g][i][0]) for g in range(G)])
+        u = np.stack([np.asarray(seqs[g][i][1]) for g in range(G)])
+        v = np.stack([np.asarray(seqs[g][i][2]) for g in range(G)])
+        y = y.reshape(G, self.n_tiles, -1, y.shape[-1])
+        u = u.reshape(G, self.n_tiles, -1, u.shape[-1])
+        v = v.reshape(G, self.n_tiles, -1, v.shape[-1])
+        return y, u, v
+
+    def _band_payloads(self, payload, qp, kind: str):
+        """Host entropy finish: per-(lane, band) slice payload bytes.
+
+        CAVLC: device-packed words → RBSP with the trailing skip run.
+        CABAC: binarize the band's element grids and replay them through
+        the native range coder (same path as the single-device Encoder).
+        Returns [G][T] of (payload_bytes_fn, ) where the fn is applied
+        with the band's header sink."""
+        G, T = self.gop_size, self.n_tiles
+        band_mbs = self.band_hm * self.wm
+        out = [[None] * T for _ in range(G)]
+        if not self.cabac:
+            words_np = np.asarray(payload[0])
+            nbits_np = np.asarray(payload[1])
+            skipped_np = np.asarray(payload[2])
+            for g in range(G):
+                for t in range(T):
+                    nb = int(nbits_np[g, t, 0])
+                    wsl = words_np[g, t, 0, : (nb + 31) // 32]
+                    tail = _slice_writer.trailing_skip_run(
+                        skipped_np[g, t], 0, band_mbs)
+
+                    def fin(sink, wsl=wsl, nb=nb, tail=tail, kind=kind):
+                        if kind == "i":
+                            return _dcav.words_to_rbsp(wsl, nb, sink)
+                        return _dcav.words_to_rbsp(wsl, nb, sink,
+                                                   final_skip_run=tail)
+                    out[g][t] = fin
+            return out
+        table = 0 if kind == "i" else 1
+        if self._cengine is not None:
+            words_np = np.asarray(payload[0])
+            nb_np = np.asarray(payload[1])
+            counts_np = np.asarray(payload[2])
+            assert int(counts_np.max()) <= self._cabac_cap, \
+                "CABAC record cap overflow (raise the cap)"
+            for g in range(G):
+                for t in range(T):
+                    pay = words_np[g, t, 0].astype(">u4").tobytes()[
+                        :int(nb_np[g, t, 0])]
+
+                    def fin(sink, pay=pay):
+                        sink.cabac_align()
+                        return sink.to_bytes() + pay
+                    out[g][t] = fin
+            return out
+        from tpu264.entropy import cabac_native
+        counts_np = np.asarray(payload[1])
+        assert int(counts_np.max()) <= self._cabac_cap, \
+            "CABAC record cap overflow (raise the cap)"
+        # pow2-bucketed transfer of the padded packed record streams
+        from tpu264.entropy.cabac_binarize_j import unpack_records_np
+        bucket = 4096
+        while bucket < int(counts_np.max()):
+            bucket *= 2
+        bucket = min(bucket, self._cabac_cap)
+        recs_np = np.asarray(payload[0][..., :bucket])
+        for g in range(G):
+            for t in range(T):
+                c = int(counts_np[g, t, 0])
+                kk, aa, bb = unpack_records_np(recs_np[g, t, 0, :c])
+                pay = cabac_native.encode_records(
+                    kk, aa.astype(np.int32), bb.astype(np.int32),
+                    table, int(qp[g]))
+
+                def fin(sink, pay=pay):
+                    sink.cabac_align()
+                    return sink.to_bytes() + pay
+                out[g][t] = fin
+        return out
+
+    def _emit_frame(self, outs, fins, slice_type, frame_num, qp,
+                    idr_pic_id=0, poc_lsb=None, is_idr=False,
+                    nal_ref_idc=2, reorder_l0=()):
+        band_mbs = self.band_hm * self.wm
+        for g in range(self.gop_size):
+            for t in range(self.n_tiles):
+                hdr = _SliceHeader(
+                    first_mb_in_slice=t * band_mbs,
+                    slice_type=slice_type,
+                    frame_num=frame_num[g] if isinstance(frame_num, list)
+                    else frame_num,
+                    idr_pic_id=idr_pic_id,
+                    slice_qp=int(qp[g]),
+                    pic_order_cnt_lsb=0 if poc_lsb is None else poc_lsb,
+                    disable_deblocking_filter_idc=self.deblock_idc,
+                    is_idr=is_idr,
+                    nal_ref_idc=nal_ref_idc,
+                    reorder_l0=reorder_l0,
+                )
+                sink = hdr.write_rbsp_head(self.sps, self.pps)
+                rbsp = fins[g][t](sink)
+                outs[g].append(_nal.make_nalu(
+                    nal_ref_idc if not is_idr else 3,
+                    _nal.NAL_IDR if is_idr else _nal.NAL_SLICE, rbsp))
 
     def encode_sequence(self, seqs) -> list[bytes]:
         """seqs: list of G sequences of (y, u, v). Returns G streams."""
@@ -220,63 +425,142 @@ class TiledEncoder:
         outs = [[_nal.make_nalu(3, _nal.NAL_SPS, self.sps.write_rbsp()),
                  _nal.make_nalu(3, _nal.NAL_PPS, self.pps.write_rbsp())]
                 for _ in range(G)]
-        band_mbs = self.band_hm * cfg.width_mbs
+        if self.gop_mode == "bgop":
+            self._encode_bgop(seqs, outs, nfr)
+        else:
+            self._encode_ip(seqs, outs, nfr)
+        return [b"".join(o) for o in outs]
+
+    def _rc_qps(self, ftype: str, num_b: int = 0):
+        cfg = self.cfg
+        if self.rcs is None:
+            base = cfg.qp if ftype == "I" else cfg.qp_inter
+            return np.full(self.gop_size, base, np.int32)
+        return np.asarray(
+            [rc.frame_qp(ftype, num_b=num_b) for rc in self.rcs],
+            np.int32)
+
+    def _rc_update(self, ftype: str, outs, marks, sad, n_px):
+        if self.rcs is None:
+            return
+        sad_np = np.asarray(sad).reshape(self.gop_size, self.n_tiles)
+        for g, rc in enumerate(self.rcs):
+            bits = 8 * sum(len(b) for b in outs[g][marks[g]:])
+            rc.update(ftype, bits, float(sad_np[g].sum()) / n_px)
+
+    def _encode_ip(self, seqs, outs, nfr):
+        cfg = self.cfg
         recon = None
-        frame_num = [0] * G
+        frame_num = [0] * self.gop_size
         idr_count = 0
+        n_px = cfg.width * cfg.height
         for i in range(nfr):
-            y = np.stack([np.asarray(seqs[g][i][0]) for g in range(G)])
-            u = np.stack([np.asarray(seqs[g][i][1]) for g in range(G)])
-            v = np.stack([np.asarray(seqs[g][i][2]) for g in range(G)])
-            y = y.reshape(G, self.n_tiles, -1, y.shape[-1])
-            u = u.reshape(G, self.n_tiles, -1, u.shape[-1])
-            v = v.reshape(G, self.n_tiles, -1, v.shape[-1])
+            y, u, v = self._shard_frame(seqs, i)
             period = cfg.intra_period
             is_idr = (i == 0 or period == 1
                       or (period > 1 and i % period == 0))
-            qp = np.int32(cfg.qp if is_idr else cfg.qp_inter)
+            qp = self._rc_qps("I" if is_idr else "P")
+            marks = [len(o) for o in outs]
             if is_idr:
-                ry, ru, rv, words, nbits, skipped = self._step_i(
-                    y, u, v, qp)
-            else:
-                ry, ru, rv, words, nbits, skipped = self._step_p(
-                    y, u, v, recon[0], recon[1], recon[2], qp)
-            recon = (ry, ru, rv)
-            nbits_np = np.asarray(nbits)
-            words_np = np.asarray(words)
-            skipped_np = np.asarray(skipped)
-            for g in range(G):
-                for s in range(self.n_tiles):
-                    hdr = _SliceHeader(
-                        first_mb_in_slice=s * band_mbs,
-                        slice_type=_SI if is_idr else _SP,
-                        frame_num=0 if is_idr else frame_num[g],
-                        idr_pic_id=idr_count % 2,
-                        slice_qp=int(qp),
-                        disable_deblocking_filter_idc=self.deblock_idc,
-                        is_idr=is_idr,
-                        nal_ref_idc=3 if is_idr else 2,
-                    )
-                    sink = hdr.write_rbsp_head(self.sps, self.pps)
-                    nb = int(nbits_np[g, s, 0])
-                    wsl = words_np[g, s, 0, : (nb + 31) // 32]
-                    if is_idr:
-                        rbsp = _dcav.words_to_rbsp(wsl, nb, sink)
-                        outs[g].append(_nal.make_nalu(3, _nal.NAL_IDR,
-                                                      rbsp))
-                    else:
-                        tail = _slice_writer.trailing_skip_run(
-                            skipped_np[g, s], 0, band_mbs)
-                        rbsp = _dcav.words_to_rbsp(wsl, nb, sink,
-                                                   final_skip_run=tail)
-                        outs[g].append(_nal.make_nalu(2, _nal.NAL_SLICE,
-                                                      rbsp))
-                if is_idr:
-                    frame_num[g] = 1
-                else:
-                    frame_num[g] = (frame_num[g] + 1) % (
-                        1 << self.sps.log2_max_frame_num)
-            if is_idr:
+                ry, ru, rv, payload, cz, sad = self._step_i(y, u, v, qp)
+                fins = self._band_payloads(payload, qp, "i")
+                self._emit_frame(outs, fins, _SI, 0, qp,
+                                 idr_pic_id=idr_count % 2, is_idr=True)
                 idr_count += 1
+                frame_num = [1] * self.gop_size
+            else:
+                ry, ru, rv, payload, cz, sad = self._step_p(
+                    y, u, v, recon[0], recon[1], recon[2], qp)
+                fins = self._band_payloads(payload, qp, "p")
+                self._emit_frame(outs, fins, _SP, list(frame_num), qp,
+                                 nal_ref_idc=2)
+                frame_num = [(f + 1) % (1 << self.sps.log2_max_frame_num)
+                             for f in frame_num]
+            self._rc_update("I" if is_idr else "P", outs, marks, sad, n_px)
+            recon = (ry, ru, rv)
         self.recons = recon
-        return [b"".join(o) for o in outs]
+
+    def _encode_bgop(self, seqs, outs, nfr):
+        """Hierarchical-B coding over the mesh: same plan, headers and
+        QP ladder as Encoder._encode_sequence_bgop (byte-identity)."""
+        cfg = self.cfg
+        plan = build_bgop_plan(nfr, cfg.num_b_frames, cfg.intra_period)
+        hier = cfg.num_b_frames >= 2
+        G = self.gop_size
+        recons = {}                    # display idx -> sharded planes
+        cz_of = {}                     # display idx -> sharded colzero
+        n_px = cfg.width * cfg.height
+        fn = 0
+        idr_count = 0
+        disp_base = 0
+        fn_of = {}
+        last_ref_fn = 0
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        max_fn = 1 << self.sps.log2_max_frame_num
+        anchor_qp = np.full(G, cfg.qp_inter, np.int32)
+        # live set per plan position (free reference planes eagerly)
+        needed_until = {}
+        for pi, (disp, kind, r0, r1, layer) in enumerate(plan):
+            for r in (r0, r1):
+                if r is not None:
+                    needed_until[r] = pi
+        for pi, (disp, kind, r0, r1, layer) in enumerate(plan):
+            y, u, v = self._shard_frame(seqs, disp)
+            marks = [len(o) for o in outs]
+            if kind == "I":
+                qp = self._rc_qps("I")
+                anchor_qp = qp
+                disp_base = disp
+                ry, ru, rv, payload, cz, sad = self._step_i(y, u, v, qp)
+                fins = self._band_payloads(payload, qp, "i")
+                self._emit_frame(outs, fins, _SI, 0, qp,
+                                 idr_pic_id=idr_count % 2, is_idr=True,
+                                 poc_lsb=0)
+                idr_count += 1
+                fn_of[disp] = 0
+                last_ref_fn = 0
+                fn = 1
+                ftype = "I"
+            elif kind == "P":
+                qp = self._rc_qps("P", num_b=cfg.num_b_frames)
+                anchor_qp = qp
+                poc = (2 * (disp - disp_base)) % max_lsb
+                reorder = ()
+                if hier and fn_of.get(r0) is not None \
+                        and last_ref_fn != fn_of[r0]:
+                    diff = (fn - fn_of[r0]) % max_fn
+                    reorder = ((0, diff - 1),)
+                ry, ru, rv, payload, cz, sad = self._step_p(
+                    y, u, v, *recons[r0], qp)
+                fins = self._band_payloads(payload, qp, "p")
+                self._emit_frame(outs, fins, _SP, fn, qp, poc_lsb=poc,
+                                 nal_ref_idc=2, reorder_l0=reorder)
+                fn_of[disp] = fn
+                last_ref_fn = fn
+                fn = (fn + 1) % max_fn
+                ftype = "P"
+            else:
+                base_b = (np.minimum(anchor_qp + 2, 51) if self.rcs
+                          else np.full(G, cfg.qp_bslice, np.int32))
+                qp = np.minimum(base_b + layer - 1, 51).astype(np.int32)
+                poc = (2 * (disp - disp_base)) % max_lsb
+                is_ref = kind == "Bref"
+                ry, ru, rv, payload, cz, sad = self._step_b(
+                    y, u, v, *recons[r0], *recons[r1], cz_of[r1], qp)
+                fins = self._band_payloads(payload, qp, "b")
+                self._emit_frame(outs, fins, _SB, fn, qp, poc_lsb=poc,
+                                 nal_ref_idc=2 if is_ref else 0)
+                if is_ref:
+                    fn_of[disp] = fn
+                    last_ref_fn = fn
+                    fn = (fn + 1) % max_fn
+                ftype = "B"
+            self._rc_update(ftype, outs, marks, sad, n_px)
+            recons[disp] = (ry, ru, rv)
+            cz_of[disp] = cz
+            # free planes that no later plan entry references
+            for r in list(recons):
+                if needed_until.get(r, -1) <= pi and r != disp:
+                    del recons[r]
+                    cz_of.pop(r, None)
+        self.recons = recons
