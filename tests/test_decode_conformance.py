@@ -95,3 +95,36 @@ def test_x264_bframes_spatial_direct(bf):
                ":ref=1:aq-mode=0:no-mbtree=1:trellis=0:slices=1"
                ":scenecut=0:keyint=30")
     _check(s)
+
+
+def _fade_frames(n):
+    base = _frames(n)
+    return [((y.astype(np.float32) * (1 - 0.08 * t)).astype(np.uint8),
+             u, v) for t, (y, u, v) in enumerate(base)]
+
+
+@pytest.mark.parametrize("pyr", ["normal", "strict"])
+def test_x264_b_pyramid_mmco(pyr):
+    """b-pyramid streams use MMCO sliding control + reference Bs; with
+    multi-ref B slices (ref_idx_lX te(v) fields)."""
+    s = x264_encode(
+        _frames(9), qp=28,
+        params=f"8x8dct=0:cabac=0:bframes=3:b-adapt=0:b-pyramid={pyr}"
+               ":partitions=none:weightp=0:no-weightb=1:direct=spatial"
+               ":ref=2:aq-mode=0:no-mbtree=1:trellis=0:slices=1"
+               ":scenecut=0:keyint=30")
+    _check(s)
+
+
+@pytest.mark.parametrize("wp", ["weightp=1", "weightp=2",
+                                "weightp=0:weightb=1:bframes=2"])
+def test_x264_weighted_prediction(wp):
+    """Explicit P weights (incl. weightp=2 duplicate-reference lists)
+    and implicit B bi-prediction weights, on fading content."""
+    extra = "" if "bframes" in wp else ":bframes=0"
+    s = x264_encode(
+        _fade_frames(9), qp=28,
+        params=f"8x8dct=0:cabac=0:{wp}{extra}:b-adapt=0:b-pyramid=none"
+               ":partitions=none:direct=spatial:ref=2:aq-mode=0"
+               ":no-mbtree=1:trellis=0:slices=1:scenecut=0:keyint=30")
+    _check(s)

@@ -43,6 +43,14 @@ class SliceHeader:
     reorder_l0: tuple = ()
     reorder_l1: tuple = ()
     direct_spatial_mv_pred_flag: int = 1   # B slices: spatial direct
+    # dec_ref_pic_marking: adaptive MMCO ops (spec 7.4.3.3), parsed as
+    # (op, val1[, val2]) tuples; () = sliding window
+    mmco: tuple = ()
+    long_term_reference_flag: int = 0      # IDR: mark as long-term
+    # pred_weight_table (spec 7.3.3.2): None = not present; else
+    # (luma_log2_denom, chroma_log2_denom, weights_l0, weights_l1) with
+    # weights_lX = [(wy, oy, wcb, ocb, wcr, ocr)] per active ref
+    pred_weights: object = None
 
     def write_rbsp_head(self, sps: SPS, pps: PPS) -> BitSink:
         """Write the slice header into a fresh BitSink (slice data follows)."""
@@ -148,15 +156,49 @@ class SliceHeader:
         if h.slice_type == SLICE_B:
             if r.read(1):
                 h.reorder_l1 = _parse_reorder()
-        if pps.weighted_pred_flag and h.slice_type == SLICE_P:
-            raise NotImplementedError("pred_weight_table")
+        if (pps.weighted_pred_flag and h.slice_type == SLICE_P) or \
+                (pps.weighted_bipred_idc == 1
+                 and h.slice_type == SLICE_B):
+            ld = read_ue(r)                   # luma_log2_weight_denom
+            cd = read_ue(r)                   # chroma_log2_weight_denom
+            lists = []
+            n_active = (h.num_ref_idx_l0_active,
+                        h.num_ref_idx_l1_active)
+            n_lists = 2 if h.slice_type == SLICE_B else 1
+            for lx in range(n_lists):
+                wl = []
+                for _ in range(n_active[lx]):
+                    wy, oy = 1 << ld, 0
+                    if r.read(1):             # luma_weight_flag
+                        wy, oy = read_se(r), read_se(r)
+                    wcb, ocb, wcr, ocr = 1 << cd, 0, 1 << cd, 0
+                    if r.read(1):             # chroma_weight_flag
+                        wcb, ocb = read_se(r), read_se(r)
+                        wcr, ocr = read_se(r), read_se(r)
+                    wl.append((wy, oy, wcb, ocb, wcr, ocr))
+                lists.append(wl)
+            lists += [[]] * (2 - len(lists))
+            h.pred_weights = (ld, cd, lists[0], lists[1])
         if nal_ref_idc != 0:
             if h.is_idr:
                 r.read(1)                 # no_output_of_prior_pics_flag
-                r.read(1)                 # long_term_reference_flag
+                h.long_term_reference_flag = r.read(1)
             else:
-                if r.read(1):
-                    raise NotImplementedError("adaptive MMCO")
+                if r.read(1):             # adaptive_ref_pic_marking
+                    ops = []
+                    while True:
+                        op = read_ue(r)
+                        if op == 0:
+                            break
+                        if op in (1, 2, 4, 6):
+                            ops.append((op, read_ue(r)))
+                        elif op == 3:
+                            ops.append((op, read_ue(r), read_ue(r)))
+                        elif op == 5:
+                            ops.append((op,))
+                        else:
+                            raise ValueError(f"MMCO op {op}")
+                    h.mmco = tuple(ops)
         if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:
             h.cabac_init_idc = read_ue(r)
         h.slice_qp = pps.pic_init_qp + read_se(r)

@@ -37,7 +37,8 @@ class RefPic:
         self.frame_num = frame_num
         self.poc = poc
         self.uid = uid            # unique picture id (deblock bS identity)
-        self.short_term = True    # no long-term marking yet
+        self.short_term = True    # flips on MMCO long-term marking
+        self.long_term_idx = -1
         # colocated motion for B direct derivation (spec 8.4.1.2.2):
         # per-4x4 mvCol / refIdxCol (intra blocks stored as 0 / 0)
         self.col_mv = col_mv
@@ -100,6 +101,8 @@ class PictureState:
         self.poc = 0
         self.frame_num = 0
         self.is_ref = True
+        self.mmco = ()            # dec_ref_pic_marking ops (spec 8.2.5.4)
+        self.lt_flag = 0          # IDR long_term_reference_flag
 
     def set_motion(self, lx, g4r, g4c, h4b, w4b, mv, ref, pid: int = -1):
         self.mv4[lx, g4r:g4r + h4b, g4c:g4c + w4b] = mv
@@ -174,15 +177,64 @@ class Decoder:
                                   np.where(use1[..., None], pic.mv4[1], 0))
                 col_ref = np.where(use0, pic.ref4[0],
                                    np.where(use1, pic.ref4[1], -1))
-                self._dpb.append(RefPic(planes[0], planes[1], planes[2],
-                                        pic.frame_num, pic.poc,
-                                        uid=self._next_uid,
-                                        col_mv=col_mv, col_ref=col_ref))
+                rp = RefPic(planes[0], planes[1], planes[2],
+                            pic.frame_num, pic.poc, uid=self._next_uid,
+                            col_mv=col_mv, col_ref=col_ref)
                 self._next_uid += 1
-                # sliding window: evict the oldest short-term ref
-                while len(self._dpb) > max(1, self.sps.max_num_ref_frames):
-                    self._dpb.pop(0)
+                self._mark_references(pic, rp)
         self._pic = None
+
+    def _mark_references(self, pic, rp: RefPic):
+        """dec_ref_pic_marking (spec 8.2.5): MMCO ops or sliding window."""
+        max_fn = 1 << self.sps.log2_max_frame_num
+        if pic.lt_flag:                    # IDR marked long-term
+            rp.short_term = False
+            rp.long_term_idx = 0
+        if pic.mmco:
+            for op in pic.mmco:
+                if op[0] == 1:             # unmark a short-term ref
+                    pic_num = (pic.frame_num - (op[1] + 1)) % max_fn
+                    self._dpb = [r for r in self._dpb
+                                 if not (r.short_term
+                                         and r.frame_num % max_fn
+                                         == pic_num)]
+                elif op[0] == 2:           # unmark a long-term ref
+                    self._dpb = [r for r in self._dpb
+                                 if r.short_term
+                                 or r.long_term_idx != op[1]]
+                elif op[0] == 3:           # short-term -> long-term idx
+                    pic_num = (pic.frame_num - (op[1] + 1)) % max_fn
+                    self._dpb = [r for r in self._dpb
+                                 if r.short_term
+                                 or r.long_term_idx != op[2]]
+                    for r in self._dpb:
+                        if r.short_term and r.frame_num % max_fn \
+                                == pic_num:
+                            r.short_term = False
+                            r.long_term_idx = op[2]
+                elif op[0] == 4:           # MaxLongTermFrameIdx
+                    self._dpb = [r for r in self._dpb
+                                 if r.short_term
+                                 or r.long_term_idx <= op[1] - 1]
+                elif op[0] == 5:           # unmark everything
+                    raise NotImplementedError("MMCO 5 (reset)")
+                elif op[0] == 6:           # current -> long-term idx
+                    self._dpb = [r for r in self._dpb
+                                 if r.short_term
+                                 or r.long_term_idx != op[1]]
+                    rp.short_term = False
+                    rp.long_term_idx = op[1]
+            self._dpb.append(rp)
+        else:
+            self._dpb.append(rp)
+            # sliding window: evict the oldest SHORT-TERM ref
+            while len(self._dpb) > max(1, self.sps.max_num_ref_frames):
+                for i, r in enumerate(self._dpb):
+                    if r.short_term:
+                        self._dpb.pop(i)
+                        break
+                else:
+                    break
 
     # --------------------------------------------------------- POC / lists
 
@@ -208,19 +260,24 @@ class Decoder:
         return msb + lsb
 
     def _build_ref_lists(self, hdr, poc: int):
-        """Default reference list construction (spec 8.2.4.2) + short-term
-        modification commands (8.2.4.3), truncated to num_ref_idx_active."""
+        """Default reference list construction (spec 8.2.4.2: short-term
+        ordering then long-term by LongTermPicNum) + modification
+        commands (8.2.4.3, incl. long-term), truncated to
+        num_ref_idx_active."""
+        st = [r for r in self._dpb if r.short_term]
+        lt = sorted((r for r in self._dpb if not r.short_term),
+                    key=lambda r: r.long_term_idx)
         if hdr.slice_type == SLICE_P:
             # list0: descending FrameNumWrap == most recent decode order
-            l0 = list(reversed(self._dpb))
+            l0 = list(reversed(st)) + lt
             l1 = []
         else:
-            past = sorted((r for r in self._dpb if r.poc <= poc),
+            past = sorted((r for r in st if r.poc <= poc),
                           key=lambda r: -r.poc)
-            futr = sorted((r for r in self._dpb if r.poc > poc),
+            futr = sorted((r for r in st if r.poc > poc),
                           key=lambda r: r.poc)
-            l0 = past + futr
-            l1 = futr + past
+            l0 = past + futr + lt
+            l1 = futr + past + lt
             if len(l1) > 1 and l1 == l0:
                 l1[0], l1[1] = l1[1], l1[0]
         max_pic = 1 << self.sps.log2_max_frame_num
@@ -230,14 +287,29 @@ class Decoder:
             pred = hdr.frame_num
             idx = 0
             for idc, val in cmds:
-                pred = (pred - (val + 1)) % max_pic if idc == 0 \
-                    else (pred + (val + 1)) % max_pic
-                target = next(r for r in self._dpb
-                              if r.frame_num % max_pic == pred)
-                if target in lst:
-                    lst.remove(target)
+                if idc == 2:               # long_term_pic_num
+                    def match(rr, val=val):
+                        return (not rr.short_term
+                                and rr.long_term_idx == val)
+                else:
+                    pred = (pred - (val + 1)) % max_pic if idc == 0 \
+                        else (pred + (val + 1)) % max_pic
+                    def match(rr, pred=pred):
+                        return (rr.short_term
+                                and rr.frame_num % max_pic == pred)
+                target = next(r for r in self._dpb if match(r))
+                # spec 8-26/8-27: insert at idx, then drop LATER entries
+                # of the same picture — commanding a picture twice
+                # yields a genuine duplicate entry (x264 weightp dup
+                # refs rely on this)
                 lst.insert(idx, target)
                 idx += 1
+                j = idx
+                while j < len(lst):
+                    if match(lst[j]):
+                        del lst[j]
+                    else:
+                        j += 1
         self._list0 = l0[:hdr.num_ref_idx_l0_active]
         self._list1 = l1[:hdr.num_ref_idx_l1_active]
 
@@ -257,8 +329,19 @@ class Decoder:
             self._pic.poc = self._compute_poc(hdr)
             self._pic.frame_num = hdr.frame_num
             self._pic.is_ref = hdr.nal_ref_idc != 0
+            self._pic.mmco = hdr.mmco
+            self._pic.lt_flag = (hdr.long_term_reference_flag
+                                 if hdr.is_idr else 0)
         if hdr.slice_type in (SLICE_P, SLICE_B):
             self._build_ref_lists(hdr, self._pic.poc)
+        # weighted prediction state for this slice (spec 8.4.2.3)
+        self._wp = None
+        self._wp_implicit = False
+        if hdr.slice_type == SLICE_B \
+                and self.pps.weighted_bipred_idc == 2:
+            self._wp_implicit = True
+        elif getattr(hdr, "pred_weights", None) is not None:
+            self._wp = hdr.pred_weights
         if hdr.slice_type == SLICE_B:
             # temporal direct (flag 0) needs MV scaling — unsupported; the
             # error surfaces only when a direct/skip MB is encountered
@@ -402,10 +485,12 @@ class Decoder:
                                pid=reflist[0].uid)
                 preds.append(self._mc_recon(pic, mr, mc, mv, reflist[0]))
             if len(preds) == 2:
-                pred_y, pred_u, pred_v = (
-                    (a + b + 1) >> 1 for a, b in zip(*preds))
+                pred_y, pred_u, pred_v = self._weight_bi(
+                    preds[0], 0, preds[1], 0)
+            elif mbv["use0"]:
+                pred_y, pred_u, pred_v = self._weight_uni(preds[0], 0, 0)
             else:
-                pred_y, pred_u, pred_v = preds[0]
+                pred_y, pred_u, pred_v = self._weight_uni(preds[0], 1, 0)
             recon = np.zeros((16, 16), dtype=np.int64)
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 scanned = mbv["luma4"][idx]
@@ -427,7 +512,8 @@ class Decoder:
             pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0,
                            pid=self._list0[0].uid)
             pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
-            pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
+            pred_y, pred_u, pred_v = self._weight_uni(
+                self._mc_recon(pic, mr, mc, mv), 0, 0)
             recon = np.zeros((16, 16), dtype=np.int64)
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 scanned = mbv["luma4"][idx]
@@ -852,6 +938,62 @@ class Decoder:
         pred = self._mv_pred(pic, mr, mc, sid)
         return mvpred.skip_mv_np(pred, mv_a, ref_a, mv_b, ref_b)
 
+    # ------------------------------------------------- weighted prediction
+
+    def _weight_uni(self, preds, lx: int, ref_idx: int):
+        """Explicit unidirectional weighting (spec 8.4.2.3.2); identity
+        when no pred_weight_table is active."""
+        if self._wp is None:
+            return preds
+        ld, cd, wl0, wl1 = self._wp
+        wy, oy, wcb, ocb, wcr, ocr = (wl0 if lx == 0 else wl1)[ref_idx]
+
+        def w1(p, w, o, d):
+            if d > 0:
+                v = ((p * w + (1 << (d - 1))) >> d) + o
+            else:
+                v = p * w + o
+            return np.clip(v, 0, 255)
+
+        py, pu, pv = preds
+        return (w1(py, wy, oy, ld), w1(pu, wcb, ocb, cd),
+                w1(pv, wcr, ocr, cd))
+
+    def _weight_bi(self, p0, r0, p1, r1):
+        """Bi-prediction combine: default average, explicit (idc 1) or
+        implicit POC-distance weights (idc 2, spec 8.4.2.3.1)."""
+        if self._wp_implicit:
+            pic0, pic1 = self._list0[r0], self._list1[r1]
+            w0 = w1_ = 32
+            td = int(np.clip(pic1.poc - pic0.poc, -128, 127))
+            if td != 0 and pic0.short_term and pic1.short_term:
+                tb = int(np.clip(self._pic.poc - pic0.poc, -128, 127))
+                tx = (16384 + abs(td) // 2) // td
+                dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+                if -64 <= (dsf >> 2) <= 128:
+                    w1_ = dsf >> 2
+                    w0 = 64 - w1_
+            return tuple(
+                np.clip((a * w0 + b * w1_ + 32) >> 6, 0, 255)
+                for a, b in zip(p0, p1))
+        if self._wp is not None:
+            ld, cd, wl0, wl1 = self._wp
+            wa = wl0[r0]
+            wb = wl1[r1]
+
+            def w2(a, b, i, d):
+                w0_, o0 = wa[i], wa[i + 1]
+                w1x, o1 = wb[i], wb[i + 1]
+                v = ((a * w0_ + b * w1x + (1 << d)) >> (d + 1)) \
+                    + ((o0 + o1 + 1) >> 1)
+                return np.clip(v, 0, 255)
+
+            py = w2(p0[0], p1[0], 0, ld)
+            pu = w2(p0[1], p1[1], 2, cd)
+            pv = w2(p0[2], p1[2], 4, cd)
+            return py, pu, pv
+        return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+
     def _mc_recon(self, pic, mr, mc, mv, ref: RefPic | None = None):
         """Luma + chroma MC prediction for a 16x16 MB at qpel mv."""
         if ref is None:
@@ -928,9 +1070,11 @@ class Decoder:
                     pic.set_motion(lx, mr * 4 + dr4, mc * 4 + dc4, 2, 2,
                                    0, mvpred.INTRA)
             if len(preds) == 2:
-                py, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*preds))
+                py, pu, pv = self._weight_bi(preds[0], r0, preds[1], r1)
+            elif r0 >= 0:
+                py, pu, pv = self._weight_uni(preds[0], 0, r0)
             else:
-                py, pu, pv = preds[0]
+                py, pu, pv = self._weight_uni(preds[0], 1, r1)
             pred_y[dr4 * 4:dr4 * 4 + 8, dc4 * 4:dc4 * 4 + 8] = py
             pred_u[dr4 * 2:dr4 * 2 + 4, dc4 * 2:dc4 * 2 + 4] = pu
             pred_v[dr4 * 2:dr4 * 2 + 4, dc4 * 2:dc4 * 2 + 4] = pv
@@ -1004,31 +1148,42 @@ class Decoder:
         pic.slice_id[mr, mc] = sid
         use0 = mb_type in (1, 3)
         use1 = mb_type in (2, 3)
+        # syntax order (spec 7.3.5.1): ref_idx_l0, ref_idx_l1, then mvds
+        refs = [0, 0]
+        for lx, use, lst in ((0, use0, self._list0),
+                             (1, use1, self._list1)):
+            if use:
+                refs[lx] = self._read_te(r, len(lst) - 1)
         mvs = [None, None]
         for lx, use in ((0, use0), (1, use1)):
             if not use:
                 continue
             mvd_x = read_se(r)
             mvd_y = read_se(r)
-            pred = self._mv_pred_list(pic, mr, mc, sid, lx)
+            pred = self._mv_pred_part(pic, lx, refs[lx], mr * 4, mc * 4,
+                                      4, 4, sid)
             mvs[lx] = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
         pic.set_motion(0, mr * 4, mc * 4, 4, 4,
                        mvs[0] if use0 else 0,
-                       0 if use0 else mvpred.INTRA,
-                       pid=self._list0[0].uid if use0 else -1)
+                       refs[0] if use0 else mvpred.INTRA,
+                       pid=self._list0[refs[0]].uid if use0 else -1)
         pic.set_motion(1, mr * 4, mc * 4, 4, 4,
                        mvs[1] if use1 else 0,
-                       0 if use1 else mvpred.INTRA,
-                       pid=self._list1[0].uid if use1 else -1)
+                       refs[1] if use1 else mvpred.INTRA,
+                       pid=self._list1[refs[1]].uid if use1 else -1)
 
         if use0 and use1:
-            p0 = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
-            p1 = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
-            preds = tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+            p0 = self._mc_recon(pic, mr, mc, mvs[0], self._list0[refs[0]])
+            p1 = self._mc_recon(pic, mr, mc, mvs[1], self._list1[refs[1]])
+            preds = self._weight_bi(p0, refs[0], p1, refs[1])
         elif use0:
-            preds = self._mc_recon(pic, mr, mc, mvs[0], self._list0[0])
+            preds = self._weight_uni(
+                self._mc_recon(pic, mr, mc, mvs[0], self._list0[refs[0]]),
+                0, refs[0])
         else:
-            preds = self._mc_recon(pic, mr, mc, mvs[1], self._list1[0])
+            preds = self._weight_uni(
+                self._mc_recon(pic, mr, mc, mvs[1], self._list1[refs[1]]),
+                1, refs[1])
         return self._parse_inter_residual(r, pic, mr, mc, qp, preds, sid)
 
     def _decode_mb_skip(self, pic, addr: int, sid: int,
@@ -1041,7 +1196,8 @@ class Decoder:
         pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0,
                        pid=self._list0[0].uid)
         pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
-        pred_y, pred_u, pred_v = self._mc_recon(pic, mr, mc, mv)
+        pred_y, pred_u, pred_v = self._weight_uni(
+            self._mc_recon(pic, mr, mc, mv), 0, 0)
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = pred_y
         pic.u[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_u
         pic.v[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = pred_v
@@ -1098,9 +1254,9 @@ class Decoder:
         pred_v = np.zeros((8, 8), dtype=np.int64)
 
         def mc_into(dr4, dc4, h4b, w4b, mv, ref_idx):
-            py, pu, pv = self._mc_part(
+            py, pu, pv = self._weight_uni(self._mc_part(
                 pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4,
-                h4b * 4, w4b * 4, mv, self._list0[ref_idx])
+                h4b * 4, w4b * 4, mv, self._list0[ref_idx]), 0, ref_idx)
             pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
             pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
             pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
