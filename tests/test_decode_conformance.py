@@ -128,3 +128,46 @@ def test_x264_weighted_prediction(wp):
                ":partitions=none:direct=spatial:ref=2:aq-mode=0"
                ":no-mbtree=1:trellis=0:slices=1:scenecut=0:keyint=30")
     _check(s)
+
+
+@pytest.mark.parametrize("parts", ["i8x8", "i8x8,i4x4",
+                                   "i8x8,i4x4,p8x8"])
+def test_x264_high_8x8dct(parts):
+    """High profile: transform_size_8x8_flag streams — intra 8x8
+    prediction (filtered references), 8x8 residual interleave, 8x8
+    dequant/IDCT, and the 8x8-transform deblock edge rules."""
+    s = x264_encode(
+        _frames(7), qp=28,
+        params=f"cabac=0:bframes=0:8x8dct=1:partitions={parts}:ref=2"
+               ":weightp=0:aq-mode=0:no-mbtree=1:trellis=0:scenecut=0")
+    _check(s)
+
+
+@pytest.mark.parametrize("preset", ["medium", "slow"])
+def test_x264_default_preset_p(preset):
+    """x264 default presets with every default tool enabled (High
+    8x8dct, weightp 2 dup-refs, aq, mbtree, multi-ref, partitions) —
+    only CAVLC + P-only forced."""
+    s = x264_encode(_fade_frames(9), qp=26, params="cabac=0:bframes=0",
+                    preset=preset)
+    _check(s)
+
+
+def test_x264_b_partitions_sub_mb():
+    """B_X_Y_16x8/8x16 two-partition types and B_8x8 with sub-partitions
+    (incl. B_Direct_8x8 subs), mixed with High 8x8dct and multi-ref."""
+    s = x264_encode(
+        _fade_frames(9), qp=28,
+        params="cabac=0:bframes=2:b-adapt=0"
+               ":partitions=p8x8,b8x8,i8x8,i4x4:8x8dct=1:weightp=0"
+               ":no-weightb=1:ref=2:aq-mode=0:no-mbtree=1"
+               ":direct=spatial")
+    _check(s)
+
+
+def test_x264_default_preset_with_b():
+    """x264 medium preset, EVERY default tool (B frames with pyramid,
+    partitions, sub-MBs, direct/skip, weighted prediction, 8x8dct, aq,
+    mbtree, multi-ref) — only CAVLC forced."""
+    s = x264_encode(_fade_frames(9), qp=26, params="cabac=0")
+    _check(s)

@@ -143,6 +143,8 @@ class PPS:
     deblocking_filter_control_present_flag: int = 1
     constrained_intra_pred_flag: int = 0
     redundant_pic_cnt_present_flag: int = 0
+    transform_8x8_mode_flag: int = 0      # High-profile tail (7.3.2.2)
+    second_chroma_qp_index_offset: int = 0
 
     def write_rbsp(self) -> bytes:
         s = BitSink()
@@ -161,6 +163,10 @@ class PPS:
         s.put(self.deblocking_filter_control_present_flag, 1)
         s.put(self.constrained_intra_pred_flag, 1)
         s.put(self.redundant_pic_cnt_present_flag, 1)
+        if self.transform_8x8_mode_flag:
+            s.put(1, 1)               # transform_8x8_mode_flag
+            s.put(0, 1)               # pic_scaling_matrix_present_flag
+            write_se(s, self.second_chroma_qp_index_offset)
         s.rbsp_trailing_bits()
         return s.to_bytes()
 
@@ -184,4 +190,10 @@ class PPS:
         pps.deblocking_filter_control_present_flag = r.read(1)
         pps.constrained_intra_pred_flag = r.read(1)
         pps.redundant_pic_cnt_present_flag = r.read(1)
+        pps.second_chroma_qp_index_offset = pps.chroma_qp_index_offset
+        if r.more_rbsp_data():        # High-profile tail
+            pps.transform_8x8_mode_flag = r.read(1)
+            if r.read(1):
+                raise NotImplementedError("pic scaling matrices")
+            pps.second_chroma_qp_index_offset = read_se(r)
         return pps

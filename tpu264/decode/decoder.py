@@ -82,6 +82,13 @@ class PictureState:
         self.chroma_tc = np.zeros((2, self.hm * 2, self.wm * 2), dtype=np.int64)
         # slice id per MB (-1 = not yet decoded)
         self.slice_id = np.full((self.hm, self.wm), -1, dtype=np.int64)
+        # transform_size_8x8_flag per MB (deblock: no internal 4x4 edges,
+        # coeff condition per 8x8 block)
+        self.t8 = np.zeros((self.hm, self.wm), dtype=bool)
+        # deblock coefficient condition per 4x4 (== luma_tc for 4x4-
+        # transform MBs; the 8x8 block's count replicated for t8 MBs)
+        self.luma_tc_db = np.zeros((self.hm * 4, self.wm * 4),
+                                   dtype=np.int64)
         self.deblock_idc = None    # uniform across the picture's slices
         self.qp = None
         # per-4x4-block motion state (qpel; ref: -2 unavail/undecoded,
@@ -643,7 +650,24 @@ class Decoder:
         if mb_type > 25:
             raise ValueError(f"bad I mb_type {mb_type}")
 
-        if mb_type == 0:     # Intra_4x4
+        if mb_type == 0:     # Intra_4x4 / Intra_8x8 (I_NxN)
+            t8 = 0
+            if self.pps.transform_8x8_mode_flag:
+                t8 = r.read(1)                # transform_size_8x8_flag
+            if t8:
+                pic.t8[mr, mc] = True
+                modes = self._parse_i8_modes(r, pic, mr, mc, sid)
+                cmode = read_ue(r)
+                cbp = int(mb_syntax.CODENUM_TO_CBP_INTRA[read_ue(r)])
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp > 0:
+                    qp = qp + read_se(r)      # mb_qp_delta
+                self._recon_i8(r, pic, mr, mc, qp, modes, cbp_luma,
+                               at, al, atl, atr, sid)
+                self._recon_chroma(r, pic, mr, mc, qp, cmode, cbp_chroma,
+                                   at, al, atl)
+                pic.qp_mb[mr, mc] = qp
+                return qp
             modes = self._parse_i4_modes(r, pic, mr, mc, sid)
             cmode = read_ue(r)
             cbp = int(mb_syntax.CODENUM_TO_CBP_INTRA[read_ue(r)])
@@ -680,6 +704,82 @@ class Decoder:
             modes[idx] = m
             pic.modes[gr, gc] = m
         return modes
+
+    def _parse_i8_modes(self, r, pic, mr, mc, sid):
+        """rem_intra8x8_pred_mode for the 4 8x8 blocks; each block's mode
+        fills its 4 4x4 mode cells (neighbor MPM derivation then works
+        at 4x4 granularity for both i4 and i8 neighbors, spec 8.3.2.1)."""
+        modes = np.zeros(4, dtype=np.int64)
+        for b8 in range(4):
+            gr = mr * 4 + (b8 // 2) * 2
+            gc = mc * 4 + (b8 % 2) * 2
+            pm = self._mpm(pic, gr, gc, sid)
+            if r.read(1):
+                m = pm
+            else:
+                rem = r.read(3)
+                m = rem + (rem >= pm)
+            modes[b8] = m
+            pic.modes[gr:gr + 2, gc:gc + 2] = m
+        return modes
+
+    def _read_luma8x8_cavlc(self, r, pic, mr, mc, b8, sid, coded):
+        """One 8x8 luma residual: 4 interleaved CAVLC 4x4 blocks
+        (coefficient k of sub-block i -> 8x8 scan position 4k + i,
+        spec 7.4.5.3.3); returns the dequantized coeff array positions
+        filled in raster [8, 8] scan-domain."""
+        from tpu264.ref import transform8 as rt8
+        scan64 = np.zeros(64, dtype=np.int64)
+        counts = 0
+        for i in range(4):
+            idx = b8 * 4 + i
+            by, bx = BLK_ORDER[idx]
+            gr, gc = mr * 4 + by, mc * 4 + bx
+            if coded:
+                ncv = self._nc_luma(pic, gr, gc, sid)
+                sub = cavlc.decode_block(r, ncv, 16)
+                pic.luma_tc[gr, gc] = (sub != 0).sum()
+                counts += int((sub != 0).sum())
+                scan64[4 * np.arange(16) + i] = sub
+            else:
+                pic.luma_tc[gr, gc] = 0
+        g2r, g2c = mr * 4 + (b8 // 2) * 2, mc * 4 + (b8 % 2) * 2
+        pic.luma_tc_db[g2r:g2r + 2, g2c:g2c + 2] = counts
+        coeff = np.zeros(64, dtype=np.int64)
+        coeff[rt8.ZIGZAG_8x8] = scan64
+        return coeff.reshape(8, 8)
+
+    def _recon_i8(self, r, pic, mr, mc, qp, modes, cbp_luma,
+                  at, al, atl, atr, sid):
+        """Intra_8x8 luma reconstruction (spec 8.3.2 + 8.5.13)."""
+        from tpu264.ref import transform8 as rt8
+        for b8 in range(4):
+            by, bx = b8 // 2, b8 % 2
+            y0, x0 = mr * 16 + by * 8, mc * 16 + bx * 8
+            # per-8x8 neighbor availability inside the MB
+            b_at = at if by == 0 else True
+            b_al = al if bx == 0 else True
+            b_atl = (atl, at, al, True)[b8]
+            b_atr = (at, atr, True, False)[b8]
+            top16 = np.zeros(16, dtype=np.int64)
+            left8 = np.zeros(8, dtype=np.int64)
+            tl = 0
+            if b_at:
+                top16[0:8] = pic.y[y0 - 1, x0:x0 + 8]
+                if b_atr:
+                    top16[8:16] = pic.y[y0 - 1, x0 + 8:x0 + 16]
+                else:
+                    top16[8:16] = top16[7]
+            if b_al:
+                left8[:] = pic.y[y0:y0 + 8, x0 - 1]
+            if b_atl:
+                tl = int(pic.y[y0 - 1, x0 - 1])
+            pred = ri.predict_8x8(int(modes[b8]), top16, left8, tl,
+                                  b_at, b_al, b_atl)
+            coded = (cbp_luma >> b8) & 1
+            d = self._read_luma8x8_cavlc(r, pic, mr, mc, b8, sid, coded)
+            res = rt8.idct8x8(rt8.dequant8x8(d, qp))
+            pic.y[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + res)
 
     def _mpm(self, pic, gr, gc, sid):
         """spec 8.3.1.1: either neighbor unavailable → DC; available
@@ -877,10 +977,13 @@ class Decoder:
                             for q in range(52)], dtype=np.int64)
         mv2 = np.moveaxis(pic.mv4, 0, 2)       # [h4, w4, 2(list), 2]
         pid2 = np.moveaxis(pic.pid4, 0, 2)     # [h4, w4, 2]
+        # coeff condition per 8x8 block for transform-8x8 MBs
+        t8r = np.repeat(np.repeat(pic.t8, 4, 0), 4, 1)
+        tc_eff = np.where(t8r, pic.luma_tc_db, pic.luma_tc)
         y, u, v = rdb.deblock_frame(
             pic.y, pic.u, pic.v, qp_g, cqp_tab[np.clip(qp_g, 0, 51)],
-            intra_mb, pic.luma_tc, mv2, pid2,
-            left_ok, top_ok)
+            intra_mb, tc_eff, mv2, pid2,
+            left_ok, top_ok, t8=pic.t8)
         pic.y, pic.u, pic.v = y, u, v
 
     # ------------------------------------------------------ P slices
@@ -1098,28 +1201,45 @@ class Decoder:
         return self._parse_inter_residual(
             r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid)
 
-    def _parse_inter_residual(self, r, pic, mr, mc, qp, preds, sid):
-        """Shared inter-MB tail: cbp, mb_qp_delta, luma residual, chroma
-        residual, plane store.  Returns the (possibly updated) qp."""
+    def _parse_inter_residual(self, r, pic, mr, mc, qp, preds, sid,
+                              allow_t8: bool = True):
+        """Shared inter-MB tail: cbp, transform_size_8x8_flag,
+        mb_qp_delta, luma residual (4x4 or 8x8), chroma residual, plane
+        store.  Returns the (possibly updated) qp."""
         cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        t8 = 0
+        if self.pps.transform_8x8_mode_flag and cbp_luma > 0 \
+                and allow_t8:
+            t8 = r.read(1)
         if cbp > 0:
             qp = qp + read_se(r)
         pred_y, pred_u, pred_v = preds
         recon = np.zeros((16, 16), dtype=np.int64)
-        for idx, (by, bx) in enumerate(BLK_ORDER):
-            gr, gc = mr * 4 + by, mc * 4 + bx
-            if (cbp_luma >> (idx // 4)) & 1:
-                ncv = self._nc_luma(pic, gr, gc, sid)
-                scanned = cavlc.decode_block(r, ncv, 16)
-                pic.luma_tc[gr, gc] = (scanned != 0).sum()
-            else:
-                scanned = np.zeros(16, dtype=np.int64)
-                pic.luma_tc[gr, gc] = 0
-            coeff = np.zeros(16, dtype=np.int64)
-            coeff[rt.ZIGZAG_4x4] = scanned
-            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                rt.residual_block_recon(coeff.reshape(4, 4), qp)
+        if t8:
+            from tpu264.ref import transform8 as rt8
+            pic.t8[mr, mc] = True
+            for b8 in range(4):
+                by, bx = b8 // 2, b8 % 2
+                coded = (cbp_luma >> b8) & 1
+                d = self._read_luma8x8_cavlc(r, pic, mr, mc, b8, sid,
+                                             coded)
+                recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    rt8.idct8x8(rt8.dequant8x8(d, qp))
+        else:
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                gr, gc = mr * 4 + by, mc * 4 + bx
+                if (cbp_luma >> (idx // 4)) & 1:
+                    ncv = self._nc_luma(pic, gr, gc, sid)
+                    scanned = cavlc.decode_block(r, ncv, 16)
+                    pic.luma_tc[gr, gc] = (scanned != 0).sum()
+                else:
+                    scanned = np.zeros(16, dtype=np.int64)
+                    pic.luma_tc[gr, gc] = 0
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
             rt.clip1(pred_y + recon)
         self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
@@ -1142,6 +1262,11 @@ class Decoder:
         if mb_type == 0:               # B_Direct_16x16
             return self._decode_mb_b_direct(r, pic, addr, qp, sid,
                                             skip=False)
+        if 4 <= mb_type <= 21:         # 16x8 / 8x16 two-partition types
+            return self._decode_mb_b_parts(r, pic, addr, qp, sid,
+                                           mb_type)
+        if mb_type == 22:              # B_8x8
+            return self._decode_mb_b8x8(r, pic, addr, qp, sid)
         if mb_type not in (1, 2, 3):
             raise NotImplementedError(f"B mb_type {mb_type}")
         mr, mc = addr // pic.wm, addr % pic.wm
@@ -1185,6 +1310,198 @@ class Decoder:
                 self._mc_recon(pic, mr, mc, mvs[1], self._list1[refs[1]]),
                 1, refs[1])
         return self._parse_inter_residual(r, pic, mr, mc, qp, preds, sid)
+
+    # B partition pred modes: (use0, use1) per partition for mb_type
+    # 4..21 (Table 7-14 B_X_Y_16x8 / 8x16 pairs)
+    _B_PART_PRED = [((1, 0), (1, 0)), ((0, 1), (0, 1)),
+                    ((1, 0), (0, 1)), ((0, 1), (1, 0)),
+                    ((1, 0), (1, 1)), ((0, 1), (1, 1)),
+                    ((1, 1), (1, 0)), ((1, 1), (0, 1)),
+                    ((1, 1), (1, 1))]
+
+    def _b_mc_part(self, pic, y0, x0, bh, bw, mvs, refs, uses):
+        """Weighted MC for one B partition (per-list mvs/refs/use)."""
+        parts = []
+        for lx, lst in ((0, self._list0), (1, self._list1)):
+            if uses[lx]:
+                parts.append(self._mc_part(pic, y0, x0, bh, bw,
+                                           mvs[lx], lst[refs[lx]]))
+        if len(parts) == 2:
+            return self._weight_bi(parts[0], refs[0], parts[1], refs[1])
+        lx = 0 if uses[0] else 1
+        return self._weight_uni(parts[0], lx, refs[lx])
+
+    def _decode_mb_b_parts(self, r, pic, addr: int, qp: int, sid: int,
+                           mb_type: int):
+        """B_X_Y_16x8 / 8x16 (mb_type 4..21, Table 7-14)."""
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        g4r, g4c = mr * 4, mc * 4
+        pred0, pred1 = self._B_PART_PRED[(mb_type - 4) // 2]
+        geom = (self._P_PARTS[1] if mb_type % 2 == 0
+                else self._P_PARTS[2])     # even = 16x8, odd = 8x16
+        part_uses = (pred0, pred1)
+        # syntax order: all ref_idx_l0, all ref_idx_l1, all mvd_l0, l1
+        refs = [[0, 0], [0, 0]]            # [lx][part]
+        for lx, lst in ((0, self._list0), (1, self._list1)):
+            for p in range(2):
+                if part_uses[p][lx]:
+                    refs[lx][p] = self._read_te(r, len(lst) - 1)
+        # partitions not using a list are "available, refIdx -1" for the
+        # within-MB MV prediction of later partitions — mark them now
+        for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+            for lx in (0, 1):
+                if not part_uses[p][lx]:
+                    pic.set_motion(lx, g4r + dr4, g4c + dc4, h4b, w4b,
+                                   0, mvpred.INTRA)
+        mvs = [[None, None], [None, None]]
+        for lx in (0, 1):
+            for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+                if not part_uses[p][lx]:
+                    continue
+                mvd_x = read_se(r)
+                mvd_y = read_se(r)
+                pred = self._mv_pred_part(pic, lx, refs[lx][p],
+                                          g4r + dr4, g4c + dc4,
+                                          h4b, w4b, sid)
+                mvs[lx][p] = pred + np.array([mvd_y, mvd_x],
+                                             dtype=np.int64)
+                lst = self._list0 if lx == 0 else self._list1
+                pic.set_motion(lx, g4r + dr4, g4c + dc4, h4b, w4b,
+                               mvs[lx][p], refs[lx][p],
+                               pid=lst[refs[lx][p]].uid)
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+        for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+            py, pu, pv = self._b_mc_part(
+                pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4,
+                h4b * 4, w4b * 4,
+                [mvs[0][p], mvs[1][p]], [refs[0][p], refs[1][p]],
+                part_uses[p])
+            pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
+            pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
+            pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
+        return self._parse_inter_residual(
+            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid)
+
+    # B sub_mb_type (Table 7-18): (use0, use1, sub-part geometry key)
+    _B_SUB = {1: ((1, 0), 0), 2: ((0, 1), 0), 3: ((1, 1), 0),
+              4: ((1, 0), 1), 5: ((1, 0), 2), 6: ((0, 1), 1),
+              7: ((0, 1), 2), 8: ((1, 1), 1), 9: ((1, 1), 2),
+              10: ((1, 0), 3), 11: ((0, 1), 3), 12: ((1, 1), 3)}
+
+    def _decode_mb_b8x8(self, r, pic, addr: int, qp: int, sid: int):
+        """B_8x8 (mb_type 22): per-8x8 sub_mb_type incl. B_Direct_8x8."""
+        mr, mc = addr // pic.wm, addr % pic.wm
+        pic.slice_id[mr, mc] = sid
+        g4r, g4c = mr * 4, mc * 4
+        subs = [read_ue(r) for _ in range(4)]
+        if any(s > 12 for s in subs):
+            raise ValueError(f"bad B sub_mb_type {subs}")
+        # MB-level spatial-direct derivation feeds any B_Direct_8x8 subs;
+        # their motion is stored NOW so later sub-blocks' MV prediction
+        # inside this MB sees it (derivation order, spec 8.4.1)
+        direct = None
+        if any(s == 0 for s in subs):
+            direct = self._direct_spatial_motion(pic, mr, mc, sid)
+            r0d, r1d, dmv0, dmv1 = direct
+            for b8 in range(4):
+                if subs[b8] != 0:
+                    continue
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                for lx, ri, mv in ((0, r0d, dmv0[b8]),
+                                   (1, r1d, dmv1[b8])):
+                    lst = self._list0 if lx == 0 else self._list1
+                    if ri >= 0:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       mv, ri, pid=lst[ri].uid)
+                    else:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       0, mvpred.INTRA)
+        # syntax: ref_idx_l0 per 8x8, ref_idx_l1 per 8x8, mvd_l0, mvd_l1
+        refs = [[0] * 4, [0] * 4]
+        for lx, lst in ((0, self._list0), (1, self._list1)):
+            for b8 in range(4):
+                if subs[b8] != 0 and self._B_SUB[subs[b8]][0][lx]:
+                    refs[lx][b8] = self._read_te(r, len(lst) - 1)
+        mvs = [[[] for _ in range(4)], [[] for _ in range(4)]]
+        for b8 in range(4):
+            if subs[b8] == 0:
+                continue
+            for lx in (0, 1):
+                if not self._B_SUB[subs[b8]][0][lx]:
+                    br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                    pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                   0, mvpred.INTRA)
+        for lx in (0, 1):
+            for b8 in range(4):
+                if subs[b8] == 0:
+                    continue
+                uses, gkey = self._B_SUB[subs[b8]]
+                if not uses[lx]:
+                    continue
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                lst = self._list0 if lx == 0 else self._list1
+                for dr4, dc4, h4b, w4b in self._SUB_PARTS[gkey]:
+                    mvd_x = read_se(r)
+                    mvd_y = read_se(r)
+                    pred = self._mv_pred_part(
+                        pic, lx, refs[lx][b8], g4r + br4 + dr4,
+                        g4c + bc4 + dc4, h4b, w4b, sid)
+                    mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                    mvs[lx][b8].append(mv)
+                    pic.set_motion(lx, g4r + br4 + dr4, g4c + bc4 + dc4,
+                                   h4b, w4b, mv, refs[lx][b8],
+                                   pid=lst[refs[lx][b8]].uid)
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+
+        def put(dr4, dc4, h4b, w4b, planes):
+            py, pu, pv = planes
+            pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
+            pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
+            pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
+
+        for b8 in range(4):
+            br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+            if subs[b8] == 0:          # B_Direct_8x8
+                r0, r1, dmv0, dmv1 = direct
+                parts = []
+                for lx, ri, mv in ((0, r0, dmv0[b8]), (1, r1, dmv1[b8])):
+                    lst = self._list0 if lx == 0 else self._list1
+                    if ri >= 0:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       mv, ri, pid=lst[ri].uid)
+                        parts.append((lx, ri, self._mc_part(
+                            pic, mr * 16 + br4 * 4, mc * 16 + bc4 * 4,
+                            8, 8, mv, lst[ri])))
+                    else:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       0, mvpred.INTRA)
+                if len(parts) == 2:
+                    planes = self._weight_bi(parts[0][2], parts[0][1],
+                                             parts[1][2], parts[1][1])
+                else:
+                    lx, ri, pl = parts[0]
+                    planes = self._weight_uni(pl, lx, ri)
+                put(br4, bc4, 2, 2, planes)
+                continue
+            uses, gkey = self._B_SUB[subs[b8]]
+            for pi, (dr4, dc4, h4b, w4b) in enumerate(
+                    self._SUB_PARTS[gkey]):
+                planes = self._b_mc_part(
+                    pic, mr * 16 + (br4 + dr4) * 4,
+                    mc * 16 + (bc4 + dc4) * 4, h4b * 4, w4b * 4,
+                    [mvs[0][b8][pi] if uses[0] else None,
+                     mvs[1][b8][pi] if uses[1] else None],
+                    [refs[0][b8], refs[1][b8]], uses)
+                put(br4 + dr4, bc4 + dc4, h4b, w4b, planes)
+        allow_t8 = all(s == 0 or self._B_SUB[s][1] == 0 for s in subs)
+        return self._parse_inter_residual(
+            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid,
+            allow_t8=allow_t8)
 
     def _decode_mb_skip(self, pic, addr: int, sid: int,
                         qp: int | None = None):
@@ -1261,6 +1578,7 @@ class Decoder:
             pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
             pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
 
+        allow_t8 = True
         if mb_type in (0, 1, 2):
             parts = self._P_PARTS[mb_type]
             refs = [self._read_te(r, nref - 1) for _ in parts]
@@ -1277,6 +1595,7 @@ class Decoder:
             subs = [read_ue(r) for _ in range(4)]
             if any(s > 3 for s in subs):
                 raise ValueError(f"bad sub_mb_type {subs}")
+            allow_t8 = all(s == 0 for s in subs)
             if mb_type == 3:
                 refs = [self._read_te(r, nref - 1) for _ in range(4)]
             else:
@@ -1296,7 +1615,8 @@ class Decoder:
                     mc_into(br4 + dr4, bc4 + dc4, h4b, w4b, mv, refs[b8])
 
         return self._parse_inter_residual(
-            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid)
+            r, pic, mr, mc, qp, (pred_y, pred_u, pred_v), sid,
+            allow_t8=allow_t8)
 
     def _recon_chroma_inter(self, r, pic, mr, mc, qp, cbp_chroma, preds, sid):
         cqp = rt.chroma_qp(qp, self.pps.chroma_qp_index_offset)

@@ -223,18 +223,26 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm):
 
 
 def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
-                  filter_edges_left, filter_edges_top):
+                  filter_edges_left, filter_edges_top, t8=None):
     """In-place deblocking of one picture (returns the filtered planes).
 
     filter_edges_left/top: [hm, wm] bool — whether the MB's left/top MB
     edge is filtered (False at picture edges, and at slice boundaries when
-    disable_deblocking_filter_idc == 2).
+    disable_deblocking_filter_idc == 2).  t8: [hm, wm] bool — MBs coded
+    with transform_size_8x8_flag have no internal 4x4 transform edges,
+    so their luma edges at columns/rows 4 and 12 are not filtered.
     """
     y = np.asarray(y, dtype=np.int64).copy()
     u = np.asarray(u, dtype=np.int64).copy()
     v = np.asarray(v, dtype=np.int64).copy()
     hm, wm = intra_mb.shape
     bs_v, bs_h = compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm)
+    if t8 is not None and np.asarray(t8).any():
+        t8r = np.repeat(np.repeat(np.asarray(t8, bool), 4, 0), 4, 1)
+        odd_c = (np.arange(wm * 4) % 2 == 1)[None, :]
+        odd_r = (np.arange(hm * 4) % 2 == 1)[:, None]
+        bs_v[t8r & odd_c] = 0
+        bs_h[t8r & odd_r] = 0
     # qp_y / cqp may be scalars or per-MB [hm, wm] grids (spec 8.7.2:
     # MB-edge thresholds use qpAv = (qpP + qpQ + 1) >> 1)
     qp_g = np.broadcast_to(np.asarray(qp_y, dtype=np.int64), (hm, wm))

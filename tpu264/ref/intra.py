@@ -230,3 +230,153 @@ def predict_chroma8x8(mode: int, top: np.ndarray, left: np.ndarray, tl: int,
     else:
         raise ValueError(f"bad chroma mode {mode}")
     return p
+
+
+def filter_ref_8x8(top16, left8, tl, avail_top, avail_left, avail_tl):
+    """Intra_8x8 reference sample filtering (spec 8.3.2.2.1).
+
+    top16: 16 raw samples p[0..15,-1] (top-right already substituted by
+    the caller when unavailable); left8: p[-1,0..7]; tl: p[-1,-1].
+    Returns (top16', left8', tl')."""
+    t = np.asarray(top16, dtype=np.int64)
+    l = np.asarray(left8, dtype=np.int64)
+    z = int(tl)
+    tf = t.copy()
+    lf = l.copy()
+    zf = z
+    if avail_top:
+        if avail_tl:
+            tf[0] = (z + 2 * t[0] + t[1] + 2) >> 2
+        else:
+            tf[0] = (3 * t[0] + t[1] + 2) >> 2
+        tf[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        tf[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if avail_tl:
+        if avail_top and avail_left:
+            zf = (t[0] + 2 * z + l[0] + 2) >> 2
+        elif avail_top:
+            zf = (3 * z + t[0] + 2) >> 2
+        elif avail_left:
+            zf = (3 * z + l[0] + 2) >> 2
+    if avail_left:
+        if avail_tl:
+            lf[0] = (z + 2 * l[0] + l[1] + 2) >> 2
+        else:
+            lf[0] = (3 * l[0] + l[1] + 2) >> 2
+        lf[1:7] = (l[0:6] + 2 * l[1:7] + l[2:8] + 2) >> 2
+        lf[7] = (l[6] + 3 * l[7] + 2) >> 2
+    return tf, lf, zf
+
+
+def predict_8x8(mode: int, top16, left8, tl, avail_top: bool,
+                avail_left: bool, avail_tl: bool) -> np.ndarray:
+    """Intra_8x8 luma prediction (spec 8.3.2.2.2-.2.10) over FILTERED
+    reference samples.  top16: 16 raw samples incl. top-right (already
+    substituted when the top-right 8x8 is unavailable)."""
+    t, l, z = filter_ref_8x8(top16, left8, tl, avail_top, avail_left,
+                             avail_tl)
+    p = np.zeros((8, 8), dtype=np.int64)
+    xs = np.arange(8)[None, :]
+    ys = np.arange(8)[:, None]
+    if mode == 0:                      # vertical
+        assert avail_top
+        p[:, :] = t[None, :8]
+    elif mode == 1:                    # horizontal
+        assert avail_left
+        p[:, :] = l[:, None]
+    elif mode == 2:                    # DC
+        if avail_top and avail_left:
+            p[:, :] = (t[:8].sum() + l.sum() + 8) >> 4
+        elif avail_top:
+            p[:, :] = (t[:8].sum() + 4) >> 3
+        elif avail_left:
+            p[:, :] = (l.sum() + 4) >> 3
+        else:
+            p[:, :] = 128
+    elif mode == 3:                    # diagonal down-left
+        assert avail_top
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    p[y, x] = (t[x + y] + 2 * t[x + y + 1]
+                               + t[x + y + 2] + 2) >> 2
+    elif mode == 4:                    # diagonal down-right
+        assert avail_top and avail_left and avail_tl
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    a = z if x - y == 1 else t[x - y - 2]
+                    p[y, x] = (a + 2 * t[x - y - 1] + t[x - y] + 2) >> 2
+                elif x < y:
+                    a = z if y - x == 1 else l[y - x - 2]
+                    p[y, x] = (a + 2 * l[y - x - 1] + l[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * z + l[0] + 2) >> 2
+    elif mode == 5:                    # vertical-right
+        assert avail_top and avail_left and avail_tl
+        for y in range(8):
+            for x in range(8):
+                zvr = 2 * x - y
+                if zvr >= 0 and zvr % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = ((z if i == 0 else t[i - 1])
+                               + t[i] + 1) >> 1 if i > 0 else \
+                        (z + t[0] + 1) >> 1
+                elif zvr > 0:
+                    i = x - (y >> 1)
+                    a = z if i == 1 else t[i - 2]
+                    p[y, x] = (a + 2 * t[i - 1] + t[i] + 2) >> 2
+                elif zvr == -1:
+                    p[y, x] = (l[0] + 2 * z + t[0] + 2) >> 2
+                else:
+                    j = y - 2 * x
+                    p[y, x] = (l[j - 1] + 2 * l[j - 2]
+                               + (l[j - 3] if j >= 3 else z) + 2) >> 2
+    elif mode == 6:                    # horizontal-down
+        assert avail_top and avail_left and avail_tl
+        for y in range(8):
+            for x in range(8):
+                zhd = 2 * y - x
+                if zhd >= 0 and zhd % 2 == 0:
+                    j = y - (x >> 1)
+                    p[y, x] = ((z if j == 0 else l[j - 1])
+                               + l[j] + 1) >> 1
+                elif zhd > 0:
+                    j = y - (x >> 1)
+                    a = z if j == 1 else l[j - 2]
+                    p[y, x] = (a + 2 * l[j - 1] + l[j] + 2) >> 2
+                elif zhd == -1:
+                    p[y, x] = (l[0] + 2 * z + t[0] + 2) >> 2
+                else:
+                    i = x - 2 * y
+                    p[y, x] = (t[i - 1] + 2 * t[i - 2]
+                               + (t[i - 3] if i >= 3 else z) + 2) >> 2
+    elif mode == 7:                    # vertical-left
+        assert avail_top
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    elif mode == 8:                    # horizontal-up
+        assert avail_left
+        for y in range(8):
+            for x in range(8):
+                zhu = x + 2 * y
+                if zhu > 13:
+                    p[y, x] = l[7]
+                elif zhu == 13:
+                    p[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                elif zhu % 2 == 0:
+                    j = y + (x >> 1)
+                    p[y, x] = (l[j] + l[j + 1] + 1) >> 1
+                else:
+                    j = y + (x >> 1)
+                    p[y, x] = (l[j] + 2 * l[j + 1] + l[j + 2] + 2) >> 2
+    else:
+        raise ValueError(f"bad intra8x8 mode {mode}")
+    return p
