@@ -171,3 +171,23 @@ def test_x264_default_preset_with_b():
     mbtree, multi-ref) — only CAVLC forced."""
     s = x264_encode(_fade_frames(9), qp=26, params="cabac=0")
     _check(s)
+
+
+@pytest.mark.parametrize("mode", ["temporal", "auto"])
+def test_x264_temporal_direct(mode):
+    """Temporal direct (spec 8.4.1.2.3 MV scaling, per-8x8 colocated
+    reference mapping); 'auto' mixes spatial/temporal per slice."""
+    s = x264_encode(
+        _fade_frames(9), qp=28,
+        params=f"cabac=0:bframes=3:b-adapt=0:direct={mode}"
+               ":partitions=p8x8,b8x8,i8x8,i4x4:8x8dct=1:weightp=0"
+               ":no-weightb=1:ref=2:aq-mode=0:no-mbtree=1")
+    _check(s)
+
+
+def test_x264_slow_preset_defaults_with_b():
+    """x264 slow preset, every default tool (incl. direct=auto) — only
+    CAVLC forced."""
+    s = x264_encode(_fade_frames(9), qp=26, params="cabac=0:bframes=3",
+                    preset="slow")
+    _check(s)

@@ -32,7 +32,7 @@ class RefPic:
     (JM `mbuffer.c` StorablePicture — SURVEY.md §2a #8)."""
 
     def __init__(self, y, u, v, frame_num: int, poc: int, uid: int = 0,
-                 col_mv=None, col_ref=None):
+                 col_mv=None, col_ref=None, col_pid=None):
         self.y, self.u, self.v = y, u, v
         self.frame_num = frame_num
         self.poc = poc
@@ -43,6 +43,7 @@ class RefPic:
         # per-4x4 mvCol / refIdxCol (intra blocks stored as 0 / 0)
         self.col_mv = col_mv
         self.col_ref = col_ref
+        self.col_pid = col_pid    # uid of the picture the col block refs
         self._planes = None
         self._u_pad = None
         self._v_pad = None
@@ -184,9 +185,12 @@ class Decoder:
                                   np.where(use1[..., None], pic.mv4[1], 0))
                 col_ref = np.where(use0, pic.ref4[0],
                                    np.where(use1, pic.ref4[1], -1))
+                col_pid = np.where(use0, pic.pid4[0],
+                                   np.where(use1, pic.pid4[1], -1))
                 rp = RefPic(planes[0], planes[1], planes[2],
                             pic.frame_num, pic.poc, uid=self._next_uid,
-                            col_mv=col_mv, col_ref=col_ref)
+                            col_mv=col_mv, col_ref=col_ref,
+                            col_pid=col_pid)
                 self._next_uid += 1
                 self._mark_references(pic, rp)
         self._pic = None
@@ -1121,7 +1125,9 @@ class Decoder:
         Returns (ref0, ref1, mv0_8 [4, 2], mv1_8 [4, 2]); refX = -1 when
         list X is unused."""
         if not getattr(self, "_direct_spatial", True):
-            raise NotImplementedError("temporal direct (MV scaling)")
+            # temporal direct returns the same (r0, r1, mv0_8, mv1_8)
+            # shape with r0 replaced per-8x8 via _direct_motion
+            raise RuntimeError("use _direct_motion for temporal slices")
         refidx = []
         for lx in (0, 1):
             (_, ra), (_, rb), (_, rc) = self._mv_neighbors(
@@ -1150,18 +1156,66 @@ class Decoder:
                 mv1[b8] = mvp[1]
         return r0, r1, mv0, mv1
 
+    def _direct_temporal_motion(self, pic, mr, mc, sid):
+        """Temporal direct motion (spec 8.4.1.2.3): per-8x8 refIdxL0 is
+        the colocated block's reference mapped into the current list0;
+        MVs scale by POC distances.  Returns per-8x8 lists
+        (ref0[4], ref1=0, mv0 [4, 2], mv1 [4, 2])."""
+        col = self._list1[0]
+        refs0 = np.zeros(4, dtype=np.int64)
+        mv0 = np.zeros((4, 2), dtype=np.int64)
+        mv1 = np.zeros((4, 2), dtype=np.int64)
+        uid_to_idx = {}
+        for i, rr in enumerate(self._list0):
+            uid_to_idx.setdefault(rr.uid, i)
+        for b8 in range(4):
+            cr = mr * 4 + (0 if b8 < 2 else 3)
+            cc = mc * 4 + (0 if b8 % 2 == 0 else 3)
+            col_pid = int(col.col_pid[cr, cc])
+            mv_col = col.col_mv[cr, cc].astype(np.int64)
+            if col_pid < 0:            # intra colocated: mv 0, ref 0
+                mv_col = np.zeros(2, np.int64)
+                r0 = 0
+            else:
+                r0 = uid_to_idx.get(col_pid, 0)
+            refs0[b8] = r0
+            pic0 = self._list0[r0]
+            td = int(np.clip(col.poc - pic0.poc, -128, 127))
+            if not pic0.short_term or td == 0:
+                mv0[b8] = mv_col
+                mv1[b8] = 0
+            else:
+                tb = int(np.clip(self._pic.poc - pic0.poc, -128, 127))
+                tx = (16384 + abs(td) // 2) // td
+                dsf = int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+                mv0[b8] = (dsf * mv_col + 128) >> 8
+                mv1[b8] = mv0[b8] - mv_col
+        return refs0, mv0, mv1
+
+    def _direct_motion(self, pic, mr, mc, sid):
+        """Direct motion for one MB → per-8x8 tuples
+        [(ref0, ref1, mv0, mv1)], spatial or temporal per the slice
+        flag.  refX = -1 means list X unused."""
+        if getattr(self, "_direct_spatial", True):
+            r0, r1, mv0, mv1 = self._direct_spatial_motion(pic, mr, mc,
+                                                           sid)
+            return [(r0, r1, mv0[b8], mv1[b8]) for b8 in range(4)]
+        refs0, mv0, mv1 = self._direct_temporal_motion(pic, mr, mc, sid)
+        return [(int(refs0[b8]), 0, mv0[b8], mv1[b8]) for b8 in range(4)]
+
     def _direct_mc_store(self, pic, mr, mc, sid):
-        """Spatial-direct motion derivation + MC for one MB: stores the
+        """Direct-mode motion derivation + MC for one MB: stores the
         per-8x8 motion into the picture maps and returns the prediction
         planes (pred_y 16x16, pred_u/v 8x8)."""
-        r0, r1, mv0, mv1 = self._direct_spatial_motion(pic, mr, mc, sid)
+        per8 = self._direct_motion(pic, mr, mc, sid)
         pred_y = np.zeros((16, 16), dtype=np.int64)
         pred_u = np.zeros((8, 8), dtype=np.int64)
         pred_v = np.zeros((8, 8), dtype=np.int64)
         for b8 in range(4):
+            r0, r1, bmv0, bmv1 = per8[b8]
             dr4, dc4 = (b8 // 2) * 2, (b8 % 2) * 2
             preds = []
-            for lx, ri, mv in ((0, r0, mv0[b8]), (1, r1, mv1[b8])):
+            for lx, ri, mv in ((0, r0, bmv0), (1, r1, bmv1)):
                 lst = self._list0 if lx == 0 else self._list1
                 if ri >= 0:
                     pic.set_motion(lx, mr * 4 + dr4, mc * 4 + dc4, 2, 2,
@@ -1404,14 +1458,13 @@ class Decoder:
         # inside this MB sees it (derivation order, spec 8.4.1)
         direct = None
         if any(s == 0 for s in subs):
-            direct = self._direct_spatial_motion(pic, mr, mc, sid)
-            r0d, r1d, dmv0, dmv1 = direct
+            direct = self._direct_motion(pic, mr, mc, sid)
             for b8 in range(4):
                 if subs[b8] != 0:
                     continue
+                r0d, r1d, dmv0, dmv1 = direct[b8]
                 br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
-                for lx, ri, mv in ((0, r0d, dmv0[b8]),
-                                   (1, r1d, dmv1[b8])):
+                for lx, ri, mv in ((0, r0d, dmv0), (1, r1d, dmv1)):
                     lst = self._list0 if lx == 0 else self._list1
                     if ri >= 0:
                         pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
@@ -1467,9 +1520,9 @@ class Decoder:
         for b8 in range(4):
             br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
             if subs[b8] == 0:          # B_Direct_8x8
-                r0, r1, dmv0, dmv1 = direct
+                r0, r1, dmv0, dmv1 = direct[b8]
                 parts = []
-                for lx, ri, mv in ((0, r0, dmv0[b8]), (1, r1, dmv1[b8])):
+                for lx, ri, mv in ((0, r0, dmv0), (1, r1, dmv1)):
                     lst = self._list0 if lx == 0 else self._list1
                     if ri >= 0:
                         pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
