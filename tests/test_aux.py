@@ -98,3 +98,42 @@ def test_fault_injection_decoder_robustness():
             assert len(out) <= 3
         except Exception:
             pass   # controlled failure is acceptable; hangs are not
+
+
+def test_error_concealment_synthesis():
+    """Concealment (SURVEY §2a #21): corrupt / drop slices mid-stream;
+    the concealing decoder still outputs every frame, with the damaged
+    pictures synthesized from the reference (temporal zero-mv copy) —
+    not garbage (PSNR floor) and not an exception."""
+    import numpy as np
+    from tpu264.bits import nal
+    from tpu264.coding.encoder import psnr
+    from tpu264.decode.decoder import Decoder
+
+    W2, H2 = 96, 80
+    cfg = EncoderConfig(width=W2, height=H2, qp=28, intra_period=0)
+    enc = Encoder(cfg)
+    frames = [synth_frame(W2, H2, t) for t in range(5)]
+    stream = enc.encode_sequence(frames)
+    nalus = list(nal.split_annexb(stream))
+    # drop one P slice and bit-flip another
+    rebuilt = []
+    victims = [i for i, (_, t, _) in enumerate(nalus)
+               if t == nal.NAL_SLICE]
+    drop, flip = victims[1], victims[2]
+    for i, (ref_idc, ntype, rbsp) in enumerate(nalus):
+        if i == drop:
+            continue
+        if i == flip:
+            rb = bytearray(rbsp)
+            rb[len(rb) // 2] ^= 0xFF
+            rbsp = bytes(rb)
+        rebuilt.append(nal.make_nalu(ref_idc, ntype, rbsp))
+    broken = b"".join(rebuilt)
+
+    dec = Decoder(conceal=True)
+    out = dec.decode(broken)
+    assert len(out) >= 4                 # dropped slice may cost a pic
+    assert dec.errors                    # the corruption was seen
+    for i, f in enumerate(out):
+        assert psnr(frames[i][0], f[0]) > 18, i   # synthesized, not noise

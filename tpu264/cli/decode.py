@@ -19,11 +19,14 @@ def main(argv=None) -> int:
     ap.add_argument("output", nargs="?")
     ap.add_argument("--md5", action="store_true",
                     help="print MD5 of the decoded YUV (conformance check)")
+    ap.add_argument("--conceal", action="store_true",
+                    help="conceal lost/corrupt slices (JM erc parity) "
+                         "instead of aborting")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
         stream = f.read()
-    frames = decode_annexb(stream)
+    frames = decode_annexb(stream, conceal=args.conceal)
     if args.output:
         write_yuv420(args.output, frames)
     if args.md5:

@@ -124,7 +124,14 @@ class PictureState:
 
 
 class Decoder:
-    def __init__(self) -> None:
+    """`conceal=True` enables JM `erc_*`-style error concealment: slice
+    parse failures are caught and the missing macroblocks synthesized
+    (temporal zero-mv copy when a reference exists, spatial neighbor
+    fill otherwise) instead of aborting the decode."""
+
+    def __init__(self, conceal: bool = False) -> None:
+        self.conceal = conceal
+        self.errors: list[str] = []
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -152,7 +159,14 @@ class Decoder:
             elif ntype == nal.NAL_PPS:
                 self.pps = PPS.parse_rbsp(rbsp)
             elif ntype in (nal.NAL_SLICE, nal.NAL_IDR):
-                self._decode_slice(rbsp, ntype, ref_idc)
+                if self.conceal:
+                    try:
+                        self._decode_slice(rbsp, ntype, ref_idc)
+                    except Exception as e:   # conceal the broken slice
+                        self.errors.append(f"slice: {type(e).__name__}:"
+                                           f" {e}")
+                else:
+                    self._decode_slice(rbsp, ntype, ref_idc)
             elif ntype in (nal.NAL_SEI, nal.NAL_AUD, nal.NAL_FILLER):
                 continue
             else:
@@ -165,8 +179,12 @@ class Decoder:
     def _finish_picture(self):
         pic = self._pic
         if pic is not None and pic.n_decoded > 0:
-            assert pic.n_decoded == pic.wm * pic.hm, \
-                f"picture incomplete: {pic.n_decoded}/{pic.wm * pic.hm} MBs"
+            if pic.n_decoded != pic.wm * pic.hm:
+                if not self.conceal:
+                    raise ValueError(
+                        f"picture incomplete: {pic.n_decoded}/"
+                        f"{pic.wm * pic.hm} MBs")
+                self._conceal_missing(pic)
             if pic.deblock_idc in (0, 2):
                 self._deblock_picture(pic)
             planes = (pic.y.astype(np.uint8), pic.u.astype(np.uint8),
@@ -246,6 +264,41 @@ class Decoder:
                         break
                 else:
                     break
+
+    def _conceal_missing(self, pic):
+        """Error concealment (JM `erc_do_i`/`erc_do_p` capability): MBs
+        never decoded (lost/corrupt slices) are synthesized — temporal
+        zero-mv copy from the most recent reference when one exists,
+        else spatial fill from the row above (128 at the top)."""
+        ref = self._dpb[-1] if self._dpb else None
+        cid = -2                              # concealed-slice marker
+        for mr in range(pic.hm):
+            for mc in range(pic.wm):
+                if pic.slice_id[mr, mc] >= 0:
+                    continue
+                y0, x0 = mr * 16, mc * 16
+                c0, d0 = mr * 8, mc * 8
+                if ref is not None:
+                    pic.y[y0:y0 + 16, x0:x0 + 16] = \
+                        ref.y[y0:y0 + 16, x0:x0 + 16]
+                    pic.u[c0:c0 + 8, d0:d0 + 8] = \
+                        ref.u[c0:c0 + 8, d0:d0 + 8]
+                    pic.v[c0:c0 + 8, d0:d0 + 8] = \
+                        ref.v[c0:c0 + 8, d0:d0 + 8]
+                elif mr > 0:
+                    pic.y[y0:y0 + 16, x0:x0 + 16] = pic.y[y0 - 1,
+                                                          x0:x0 + 16]
+                    pic.u[c0:c0 + 8, d0:d0 + 8] = pic.u[c0 - 1,
+                                                        d0:d0 + 8]
+                    pic.v[c0:c0 + 8, d0:d0 + 8] = pic.v[c0 - 1,
+                                                        d0:d0 + 8]
+                else:
+                    pic.y[y0:y0 + 16, x0:x0 + 16] = 128
+                    pic.u[c0:c0 + 8, d0:d0 + 8] = 128
+                    pic.v[c0:c0 + 8, d0:d0 + 8] = 128
+                pic.slice_id[mr, mc] = cid
+                pic.set_intra_mb(mr, mc)
+                pic.n_decoded += 1
 
     # --------------------------------------------------------- POC / lists
 
@@ -1709,6 +1762,6 @@ class Decoder:
                 rt.clip1(preds[comp] + recon)
 
 
-def decode_annexb(stream: bytes):
+def decode_annexb(stream: bytes, conceal: bool = False):
     """Decode an Annex-B byte stream → list of (y, u, v) uint8 frames."""
-    return Decoder().decode(stream)
+    return Decoder(conceal=conceal).decode(stream)
