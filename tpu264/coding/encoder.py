@@ -22,8 +22,7 @@ from tpu264.bits.slicehdr import (SLICE_B, SLICE_I, SLICE_P,
 from tpu264.config import EncoderConfig
 from tpu264.entropy import slice_writer
 from .inter_frame import make_inter_encoder
-from .intra_frame import (make_intra_encoder, reorder_wave_outputs,
-                          reorder_wave_outputs_j)
+from .intra_frame import make_intra_encoder, reorder_wave_outputs_j
 from .wavefront import build_schedule
 
 

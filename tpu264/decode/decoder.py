@@ -1354,11 +1354,6 @@ class Decoder:
         pic.qp_mb[mr, mc] = qp
         return qp
 
-    def _mv_pred_list(self, pic, mr, mc, sid, lx: int):
-        """16x16 median MV predictor over list-lx neighbor state
-        (spec 8.4.1.3; neighbors not using list lx: mv 0, ref -1)."""
-        return self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4, 4, 4, sid)
-
     def _decode_mb_b(self, r: BitReader, pic: PictureState, addr: int,
                      qp: int, sid: int):
         """B macroblock (16x16 L0/L1/Bi + intra; Table 7-14)."""
