@@ -61,13 +61,18 @@ def encode_host_share(make_encoder, frames, sched: GopScheduler,
                       host_id: int) -> dict[int, bytes]:
     """Encode this host's GOPs; returns {gop_index: annexb_chunk}.
 
-    Each GOP uses a fresh encoder (closed-GOP independence); the first
-    chunk keeps SPS/PPS, later chunks drop the duplicated parameter
-    sets so concatenation in GOP order is a single conforming stream."""
+    One encoder instance serves all of the host's GOPs — closed GOPs
+    carry no prediction state across calls, and reusing the instance
+    keeps the jitted programs warm (a fresh encoder per GOP re-traces
+    every program and dominates small-GOP shares).  The first chunk
+    keeps SPS/PPS, later chunks drop the duplicated parameter sets so
+    concatenation in GOP order is a single conforming stream."""
     out = {}
+    enc = None
     for g in sched.gops_for(host_id):
         lo, hi = sched.frame_range(g)
-        enc = make_encoder()
+        if enc is None:
+            enc = make_encoder()
         chunk = enc.encode_sequence(frames[lo:hi])
         if g > 0:
             chunk = _strip_parameter_sets(chunk)
@@ -103,16 +108,28 @@ def scaling_harness(make_encoder, frames, intra_period: int,
     T(1) / (H * max_h T_h).  BASELINE target: >=80% at 4 hosts."""
     results = {}
     t1 = None
-    # warm the XLA compile caches so timings measure throughput
-    warm_sched = GopScheduler(len(frames), intra_period, max(host_counts))
-    encode_host_share(make_encoder, frames, warm_sched, 0)
     for hc in host_counts:
         sched = GopScheduler(len(frames), intra_period, hc)
         per_host = []
         chunks = []
         for h in range(hc):
+            # steady-state measurement: each simulated host's encoder is
+            # traced/warmed on its first GOP UNTIMED (a real host pays
+            # that once per run, amortized over the whole sequence; here
+            # the simulated shares are seconds long and the one-time
+            # tracing would swamp them)
+            holder = {}
+
+            def mk_cached(holder=holder):
+                if "e" not in holder:
+                    holder["e"] = make_encoder()
+                return holder["e"]
+
+            g0 = sched.gops_for(h)[0]
+            lo, hi = sched.frame_range(g0)
+            mk_cached().encode_sequence(frames[lo:hi])
             t0 = time.monotonic()
-            chunks.append(encode_host_share(make_encoder, frames, sched, h))
+            chunks.append(encode_host_share(mk_cached, frames, sched, h))
             per_host.append(time.monotonic() - t0)
         stream = gather_streams(chunks)
         wall = max(per_host)
