@@ -115,3 +115,38 @@ def test_motion_content_uses_inter():
     assert frac_right > 0.5, inter_mvs[:8]
     decoded = decode_annexb(stream)
     np.testing.assert_array_equal(decoded[1][0], enc.recons[1][0])
+
+
+def test_partitions_16x8_8x16_roundtrip():
+    """16x8/8x16 inter partitions (auto-on for CAVLC IPPP): lavc + own
+    decoder bit-exact with deblocking, and an RD win vs 16x16-only on
+    the same frames (VERDICT r3 task #6)."""
+    import numpy as np
+    from lavc_util import lavc_decode
+    from tpu264.decode.decoder import decode_annexb
+    W2, H2 = 96, 80
+    frames = [synth_frame(W2, H2, t) for t in range(6)]
+    cfg = EncoderConfig(width=W2, height=H2, qp=30, intra_period=0)
+    enc = Encoder(cfg)
+    assert enc.partitions
+    stream = enc.encode_sequence(frames)
+    dec, errors = lavc_decode(stream, W2, H2)
+    assert not errors, errors[:2]
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i
+        assert np.array_equal(
+            du, np.asarray(enc.recons[i][1]).astype(np.uint8)), i
+    own = decode_annexb(stream)
+    for i, (dy, du, dv) in enumerate(own):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i
+    cfg16 = EncoderConfig(width=W2, height=H2, qp=30, intra_period=0,
+                          inter_partitions=False)
+    e16 = Encoder(cfg16)
+    s16 = e16.encode_sequence(frames)
+    p_parts = float(np.mean([s.psnr_y for s in enc.stats]))
+    p_16 = float(np.mean([s.psnr_y for s in e16.stats]))
+    # strictly better on this clip: fewer bits at >= equal quality
+    assert len(stream) < len(s16)
+    assert p_parts > p_16 - 0.05

@@ -161,9 +161,17 @@ class Encoder:
         self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
         self._encode_b = None
+        # 16x8/8x16 partitions: auto-on for CAVLC IPPP (CABAC binarize
+        # and the B engines still code 16x16-only)
+        self.partitions = (cfg.inter_partitions
+                           if cfg.inter_partitions is not None
+                           else (gop_mode == "ippp" and not self.cabac))
+        self.partitions = (self.partitions and gop_mode == "ippp"
+                           and not self.cabac)
         if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
-                self.sched, search_range=cfg.search_range)
+                self.sched, search_range=cfg.search_range,
+                partitions=self.partitions)
         if gop_mode == "bgop":
             from .b_frame import make_b_encoder
             self._encode_b = make_b_encoder(
@@ -308,7 +316,7 @@ class Encoder:
         return payloads, np.asarray(skipped)
 
     def _apply_deblock_j(self, dev_out, mbd, qp: int, is_inter=None,
-                         mv=None, b_motion=None):
+                         mv=None, b_motion=None, p_motion=None):
         """Device twin of `_apply_deblock`: bS inputs derived on device from
         the raster mb dict, filtered planes stay on device.
 
@@ -337,6 +345,24 @@ class Encoder:
             ref_grid = jnp.stack(
                 [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
                 axis=1).reshape(hm, wm, 2).astype(jnp.int32)
+        elif p_motion is not None:
+            # 16x8/8x16 partitions: per-4x4 single-list motion grids
+            ptype, mv0, mv2p = p_motion
+            m0 = jnp.where(is_inter[:, None], mv0, 0).reshape(hm, wm, 2)
+            m2 = jnp.where(is_inter[:, None], mv2p, 0).reshape(hm, wm, 2)
+            pt = ptype.reshape(hm, wm)
+            rsel = (jnp.arange(hm * 4) % 4 >= 2)[:, None]
+            csel = (jnp.arange(wm * 4) % 4 >= 2)[None, :]
+            up = jnp.repeat
+            use2 = jnp.where(up(up(pt, 4, 0), 4, 1) == 1, rsel,
+                             jnp.where(up(up(pt, 4, 0), 4, 1) == 2, csel,
+                                       False))
+            mv_grid = jnp.where(use2[..., None],
+                                up(up(m2, 4, 0), 4, 1),
+                                up(up(m0, 4, 0), 4, 1))
+            ref_grid = jnp.where(
+                up(up(is_inter.reshape(hm, wm), 4, 0), 4, 1), 0,
+                mvpred.INTRA)
         else:
             if mv is None:
                 mv = jnp.zeros((n, 2), dtype=jnp.int32)
@@ -891,10 +917,15 @@ class Encoder:
                                             final_skip_run=tail)
             nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         if cfg.deblock:
+            pm = None
+            if "ptype" in mbd:
+                pm = (mbd["ptype"].astype(jnp.int32),
+                      mbd["mv"].astype(jnp.int32),
+                      mbd["mv2"].astype(jnp.int32))
             recon = self._apply_deblock_j(
                 dev_out, mbd, qp,
                 is_inter=mbd["is_inter"].astype(bool),
-                mv=mbd["mv"].astype(jnp.int32))
+                mv=mbd["mv"].astype(jnp.int32), p_motion=pm)
         else:
             recon = (dev_out["recon_y"].astype(jnp.uint8),
                      dev_out["recon_u"].astype(jnp.uint8),

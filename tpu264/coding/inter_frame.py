@@ -41,15 +41,25 @@ def mvd_bits(mvd):
             .astype(jnp.int32) + 1).sum(axis=-1)
 
 
+# channel indices of the per-MB neighbor cell maps: the three 4x4 cells
+# of an MB that later MVP derivations can read (spec 8.4.1.3 neighbors
+# always hit one of these): top-right cell (A of the right MB), bottom-
+# left (B/C of MBs below), bottom-right (D below; also A rows 2-3)
+CH_TR, CH_BL, CH_BR = 0, 1, 2
+
+
 def make_inter_encoder(sched: WaveSchedule,
                        chroma_qp_offset: int = 0, search_range: int = 16,
-                       ref_prepadded: bool = False):
+                       ref_prepadded: bool = False,
+                       partitions: bool = False):
     """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
 
     qp is a traced scalar (rate control varies it per frame).
     `ref_prepadded`: ref planes arrive already PAD-extended (the tiled
     path supplies real ppermute'd halo rows from neighbor tiles instead
-    of edge replication — SURVEY.md §2c ref-pixel collectives)."""
+    of edge replication — SURVEY.md §2c ref-pixel collectives).
+    `partitions`: adds 16x8 / 8x16 candidates (per-half ME sweeps +
+    partition mode decision; ys gains ptype / mv2)."""
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
     cqp_off = chroma_qp_offset
@@ -74,21 +84,26 @@ def make_inter_encoder(sched: WaveSchedule,
         (ltop, lleft, tctx_u, lctx_u, tctx_v, lctx_v,
          modes_top, modes_left) = gather_border_ctx(bd, r, c)
 
-        # ---- neighbor MVs from the maps (padded: +1 row/col, +1 right) ----
-        def gmv(rr, cc):
-            return jax.lax.dynamic_slice(mv_map, (rr, cc, 0), (1, 1, 2))[0, 0]
+        # ---- neighbor MVs from the maps (padded: +1 row/col, +1 right;
+        # channel picks which 4x4 cell of the neighbor MB) ----
+        def gmv(ch, rr, cc):
+            return jax.lax.dynamic_slice(
+                mv_map, (ch, rr, cc, 0), (1, 1, 1, 2))[0, 0, 0]
 
-        def gref(rr, cc):
-            return jax.lax.dynamic_slice(ref_map, (rr, cc), (1, 1))[0, 0]
+        def gref(ch, rr, cc):
+            return jax.lax.dynamic_slice(
+                ref_map, (ch, rr, cc), (1, 1, 1))[0, 0, 0]
 
-        mv_a = jax.vmap(gmv)(r + 1, c)            # left  (r, c-1) -> padded
-        ref_a = jax.vmap(gref)(r + 1, c)
-        mv_b = jax.vmap(gmv)(r, c + 1)            # top
-        ref_b = jax.vmap(gref)(r, c + 1)
-        mv_c = jax.vmap(gmv)(r, c + 2)            # top-right
-        ref_c = jax.vmap(gref)(r, c + 2)
-        mv_d = jax.vmap(gmv)(r, c)                # top-left
-        ref_d = jax.vmap(gref)(r, c)
+        def nbr(ch, dr, dc):
+            rr = r + dr
+            cc = c + dc
+            return (jax.vmap(lambda a, b2: gmv(ch, a, b2))(rr, cc),
+                    jax.vmap(lambda a, b2: gref(ch, a, b2))(rr, cc))
+
+        mv_a, ref_a = nbr(CH_TR, 1, 0)            # left MB, rows 0-1
+        mv_b, ref_b = nbr(CH_BL, 0, 1)            # top MB, bottom-left
+        mv_c, ref_c = nbr(CH_BL, 0, 2)            # top-right MB
+        mv_d, ref_d = nbr(CH_BR, 0, 0)            # top-left MB
         # slice-boundary masking (maps may hold other slices' data)
         ref_a = jnp.where(al, ref_a, mvpred.UNAVAIL)
         ref_b = jnp.where(at, ref_b, mvpred.UNAVAIL)
@@ -125,6 +140,47 @@ def make_inter_encoder(sched: WaveSchedule,
         mv_sel = jnp.where(use_skip_mv[:, None], mv_skip, mv_me)
         pred_inter = jnp.where(use_skip_mv[:, None, None], pred_skip, pred_me)
         j_inter = jnp.minimum(j_skip, j_me)
+
+        ptype = jnp.zeros(b, jnp.int32)
+        mv2_sel = mv_sel
+        if partitions:
+            # ---- 16x8 / 8x16 candidates (per-half refined MVs) ----
+            mvT, mvB = x["mv_top"], x["mv_bot"]
+            mvL, mvR = x["mv_left"], x["mv_right"]
+            p16x8 = jnp.concatenate(
+                [kint.mc_luma(planes, y0, x0, mvT, bh=8, bw=16),
+                 kint.mc_luma(planes, y0 + 8, x0, mvB, bh=8, bw=16)],
+                axis=1)
+            p8x16 = jnp.concatenate(
+                [kint.mc_luma(planes, y0, x0, mvL, bh=16, bw=8),
+                 kint.mc_luma(planes, y0, x0 + 8, mvR, bh=16, bw=8)],
+                axis=2)
+
+            def satd_full(pred):
+                diff = gy - pred
+                blk = diff.reshape(b, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+                return kt.satd4x4(blk).sum(axis=(1, 2))
+
+            # rate estimate: part0 vs the MB predictor, part1 vs part0
+            # (the exact per-partition predictors are recomputed by the
+            # serializer/decoder from the final maps) + ue(mb_type)
+            j_16x8 = satd_full(p16x8) + lam_me * (
+                mvd_bits(mvT - mv_pred) + mvd_bits(mvB - mvT) + 3)
+            j_8x16 = satd_full(p8x16) + lam_me * (
+                mvd_bits(mvL - mv_pred) + mvd_bits(mvR - mvL) + 3)
+            use_16x8 = (j_16x8 < j_inter) & (j_16x8 <= j_8x16)
+            use_8x16 = (j_8x16 < j_inter) & (j_8x16 < j_16x8)
+            ptype = jnp.where(use_16x8, 1, jnp.where(use_8x16, 2, 0))
+            pred_inter = jnp.where(
+                use_16x8[:, None, None], p16x8,
+                jnp.where(use_8x16[:, None, None], p8x16, pred_inter))
+            j_inter = jnp.minimum(j_inter,
+                                  jnp.minimum(j_16x8, j_8x16))
+            mv_sel = jnp.where(use_16x8[:, None], mvT,
+                               jnp.where(use_8x16[:, None], mvL, mv_sel))
+            mv2_sel = jnp.where(use_16x8[:, None], mvB,
+                                jnp.where(use_8x16[:, None], mvR,
+                                          mv2_sel))
 
         # ---- intra candidates (shared machinery) ----
         mb4, modebuf, modes_zz, coeffs4, j4 = eval_i4x4(
@@ -164,6 +220,26 @@ def make_inter_encoder(sched: WaveSchedule,
         cx0 = c * 8 + PAD // 2
         cpred_u = kint.mc_chroma(cu_pad, cy0, cx0, mv_sel)
         cpred_v = kint.mc_chroma(cv_pad, cy0, cx0, mv_sel)
+        if partitions:
+            def cparts(cpad):
+                c16x8 = jnp.concatenate(
+                    [kint.mc_chroma(cpad, cy0, cx0, mvT, bh=4, bw=8),
+                     kint.mc_chroma(cpad, cy0 + 4, cx0, mvB, bh=4, bw=8)],
+                    axis=1)
+                c8x16 = jnp.concatenate(
+                    [kint.mc_chroma(cpad, cy0, cx0, mvL, bh=8, bw=4),
+                     kint.mc_chroma(cpad, cy0, cx0 + 4, mvR, bh=8, bw=4)],
+                    axis=2)
+                return c16x8, c8x16
+
+            for_u = cparts(cu_pad)
+            for_v = cparts(cv_pad)
+            cpred_u = jnp.where(
+                use_16x8[:, None, None], for_u[0],
+                jnp.where(use_8x16[:, None, None], for_u[1], cpred_u))
+            cpred_v = jnp.where(
+                use_16x8[:, None, None], for_v[0],
+                jnp.where(use_8x16[:, None, None], for_v[1], cpred_v))
         inter_u = chroma_residual_recon(gu, cpred_u, cqp, intra=False)
         inter_v = chroma_residual_recon(gv, cpred_v, cqp, intra=False)
         chroma = []
@@ -178,10 +254,19 @@ def make_inter_encoder(sched: WaveSchedule,
         mode_tiles = jnp.where((is_inter | sel16)[:, None, None], -1, modebuf)
         bd = update_border_ctx(bd, r, c, recon_mb, chroma[0][0],
                                chroma[1][0], mode_tiles)
-        mv_tiles = jnp.where(is_inter[:, None], mv_sel, 0)
-        mv_map = mv_map.at[r + 1, c + 1].set(mv_tiles, mode="drop")
-        ref_map = ref_map.at[r + 1, c + 1].set(
-            jnp.where(is_inter, 0, mvpred.INTRA), mode="drop")
+        # channel cell values (which partition covers each boundary cell):
+        #   tr (rows 0-1, right col): 16x8 -> part0, 8x16 -> part1
+        #   bl (bottom row, col 0-1): 16x8 -> part1, 8x16 -> part0
+        #   br (bottom row, right col): part1 for both shapes
+        mv_tr = jnp.where((ptype == 2)[:, None], mv2_sel, mv_sel)
+        mv_bl = jnp.where((ptype == 1)[:, None], mv2_sel, mv_sel)
+        mv_br = jnp.where((ptype > 0)[:, None], mv2_sel, mv_sel)
+        ref_cell = jnp.where(is_inter, 0, mvpred.INTRA)
+        for ch, mvv in ((CH_TR, mv_tr), (CH_BL, mv_bl), (CH_BR, mv_br)):
+            mv_map = mv_map.at[ch, r + 1, c + 1].set(
+                jnp.where(is_inter[:, None], mvv, 0), mode="drop")
+            ref_map = ref_map.at[ch, r + 1, c + 1].set(ref_cell,
+                                                       mode="drop")
 
         ys = dict(is_inter=is_inter, mv=mv_sel, mv_pred=mv_pred,
                   mv_skip=mv_skip,
@@ -190,6 +275,9 @@ def make_inter_encoder(sched: WaveSchedule,
                   chroma_dc=jnp.stack([chroma[0][1], chroma[1][1]], axis=1),
                   chroma_ac=jnp.stack([chroma[0][2], chroma[1][2]], axis=1),
                   recon_mb=recon_mb, rec_u=chroma[0][0], rec_v=chroma[1][0])
+        if partitions:
+            ys["ptype"] = jnp.where(is_inter, ptype, 0)
+            ys["mv2"] = mv2_sel
         return (bd, mv_map, ref_map), ys
 
     @jax.jit
@@ -214,13 +302,25 @@ def make_inter_encoder(sched: WaveSchedule,
         mv_int, _ = kme.full_search_16x16(y, ref_pad, PAD, rng, lam_me, wm, hm)
         mv_q = kme.subpel_refine(y, planes, PAD, mv_int, lam_me, wm, hm)
         # rearrange per wave: [n_waves, Bmax, 2]
-        mv_wave = mv_q[jnp.asarray(np.minimum(sched.mb_index, sched.n_mbs - 1))]
+        idx = jnp.asarray(np.minimum(sched.mb_index, sched.n_mbs - 1))
+        mv_wave = mv_q[idx]
 
         bd = init_border_buffers(hm, wm)
-        mv_map = jnp.zeros((1 + hm, 1 + wm + 1, 2), jnp.int32)
-        ref_map = jnp.full((1 + hm, 1 + wm + 1), mvpred.UNAVAIL, jnp.int32)
+        mv_map = jnp.zeros((3, 1 + hm, 1 + wm + 1, 2), jnp.int32)
+        ref_map = jnp.full((3, 1 + hm, 1 + wm + 1), mvpred.UNAVAIL,
+                           jnp.int32)
         gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
         xs_full = dict(xs, mv_me=mv_wave, gy=gy_all, gu=gu_all, gv=gv_all)
+        if partitions:
+            halves = kme.full_search_parts(y, ref_pad, PAD, rng, lam_me,
+                                           wm, hm)
+            geo = dict(top=(0, 0, 8, 16), bot=(8, 0, 8, 16),
+                       left=(0, 0, 16, 8), right=(0, 8, 16, 8))
+            for key, (oy, ox, bh, bw) in geo.items():
+                mvq = kme.subpel_refine(y, planes, PAD, halves[key],
+                                        lam_me, wm, hm, oy=oy, ox=ox,
+                                        bh=bh, bw=bw)
+                xs_full[f"mv_{key}"] = mvq[idx]
         carry, ys = jax.lax.scan(
             lambda cr, xx: wave_body(planes, cu_pad, cv_pad, qp, cqp,
                                      lam4, lam24, lam_me, cr, xx),

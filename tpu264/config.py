@@ -38,6 +38,10 @@ class EncoderConfig:
     num_ref_frames: int = 1
     search_range: int = 16               # JM SearchRange (full-pel)
     me_subpel: bool = True               # half+quarter pel refinement
+    # 16x8/8x16 inter partitions (JM InterSearch16x8/8x16); None = auto
+    # (on for CAVLC IPPP — partition syntax is not wired into the CABAC
+    # binarizer or the B engines yet)
+    inter_partitions: "Optional[bool]" = None
     deblock: bool = True                 # in-loop filter enable
     rate_control: bool = False           # JM RateControlEnable
     bitrate: int = 0                     # target bps when rate_control
@@ -92,6 +96,7 @@ _JM_KEYS = {
     "NumberBFrames": ("num_b_frames", int),
     "NumberReferenceFrames": ("num_ref_frames", int),
     "SearchRange": ("search_range", int),
+    "InterPartitions": ("inter_partitions", lambda s: bool(int(s))),
     "RateControlEnable": ("rate_control", lambda s: bool(int(s))),
     "Bitrate": ("bitrate", int),
     "OutputFile": ("output_file", str),

@@ -437,30 +437,169 @@ def _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows):
                  mv_c=mv_c, ref_c=ref_c).items()}
 
 
+def _cell_grids_j(mb, wm: int, hm: int):
+    """Per-MB boundary-cell motion grids (tr / bl / br channels — the
+    4x4 cells later MVP derivations can read; see inter_frame) from the
+    final decided maps incl. 16x8/8x16 partitions."""
+    n = wm * hm
+    is_inter = mb["is_inter"].astype(bool)
+    mv = mb["mv"].astype(jnp.int32)
+    mv2 = mb.get("mv2", mb["mv"]).astype(jnp.int32)
+    ptype = (mb["ptype"].astype(jnp.int32) if "ptype" in mb
+             else jnp.zeros(n, jnp.int32))
+    ref = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)\
+        .astype(jnp.int32)
+
+    def cell(sel2):
+        m = jnp.where(sel2[:, None], mv2, mv)
+        return jnp.where(is_inter[:, None], m, 0).reshape(hm, wm, 2)
+
+    return (cell(ptype == 2), cell(ptype == 1), cell(ptype > 0), ref)
+
+
+def _shift_nbrs_j(grid_tr, grid_bl, grid_br, ref_g, wm, hm, slice_rows):
+    """(A, B, C-with-D-subst, raw D) neighbor (mv, ref) arrays at MB
+    granularity from the channel grids."""
+    UN = mvpred.UNAVAIL
+    z2 = jnp.zeros((hm, wm, 2), jnp.int32)
+    un = jnp.full((hm, wm), UN, jnp.int32)
+    mv_a = z2.at[:, 1:].set(grid_tr[:, :-1])
+    ref_a = un.at[:, 1:].set(ref_g[:, :-1])
+    mv_b = z2.at[1:, :].set(grid_bl[:-1, :])
+    ref_b = un.at[1:, :].set(ref_g[:-1, :])
+    mv_c = z2.at[1:, :-1].set(grid_bl[:-1, 1:])
+    ref_c = un.at[1:, :-1].set(ref_g[:-1, 1:])
+    mv_d = z2.at[1:, 1:].set(grid_br[:-1, :-1])
+    ref_d = un.at[1:, 1:].set(ref_g[:-1, :-1])
+    mask = np.zeros((hm, 1), dtype=bool)
+    for r in slice_rows:
+        mask[int(r)] = True
+    mj = jnp.asarray(mask)
+    ref_b = jnp.where(mj, UN, ref_b)
+    ref_c = jnp.where(mj, UN, ref_c)
+    ref_d = jnp.where(mj, UN, ref_d)
+    mv_b = jnp.where(mj[..., None], 0, mv_b)
+    mv_c = jnp.where(mj[..., None], 0, mv_c)
+    mv_d = jnp.where(mj[..., None], 0, mv_d)
+    # C → D substitution when the top-right MB is unavailable
+    use_d = ref_c == UN
+    mv_c = jnp.where(use_d[..., None], mv_d, mv_c)
+    ref_c = jnp.where(use_d, ref_d, ref_c)
+    n = wm * hm
+    f = lambda a: a.reshape((n,) + a.shape[2:])
+    return (f(mv_a), f(ref_a), f(mv_b), f(ref_b), f(mv_c), f(ref_c),
+            f(mv_d), f(ref_d))
+
+
+def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
+    """Per-partition mvds for ptype streams — mirrors the decoder's
+    spec-8.4.1.3 derivation incl. the 16x8/8x16 directional shortcuts.
+    Returns (mvd0 [n, 2], mvd1 [n, 2], mv_pred16 [n, 2])."""
+    ptype = mb["ptype"].astype(jnp.int32)
+    mv = mb["mv"].astype(jnp.int32)
+    mv2 = mb["mv2"].astype(jnp.int32)
+    tr, bl, br, ref_g = _cell_grids_j(mb, wm, hm)
+    (mv_a, ref_a, mv_b, ref_b, mv_c, ref_c, mv_d, ref_d) = \
+        _shift_nbrs_j(tr, bl, br, ref_g, wm, hm, slice_rows)
+    pred16 = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+    UN = mvpred.UNAVAIL
+    z2 = jnp.zeros((hm, wm, 2), jnp.int32)
+    un = jnp.full((hm, wm), UN, jnp.int32)
+    n = wm * hm
+    f = lambda a: a.reshape((n,) + a.shape[2:])
+    mask = np.zeros((hm, 1), dtype=bool)
+    for r in slice_rows:
+        mask[int(r)] = True
+    mj = jnp.asarray(mask)
+
+    def topgrid(g):
+        mvv = z2.at[1:, :].set(g[:-1, :])
+        rr = un.at[1:, :].set(ref_g[:-1, :])
+        rr = jnp.where(mj, UN, rr)
+        mvv = jnp.where(mj[..., None], 0, mvv)
+        return f(mvv), f(rr)
+
+    # 8x16 left half: its C is the TOP MB's col-2 cell (br channel),
+    # with D-substitution to the top-left MB's br cell
+    mv_tbr, ref_tbr = topgrid(br)
+    use_d0 = ref_tbr == UN
+    mv_c0 = jnp.where(use_d0[:, None], mv_d, mv_tbr)
+    ref_c0 = jnp.where(use_d0, ref_d, ref_tbr)
+    pred_8x16_0 = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b,
+                                        mv_c0, ref_c0)
+    pred_8x16_0 = jnp.where((ref_a == 0)[:, None], mv_a, pred_8x16_0)
+    # part0: 16x8 top prefers B (ref 0), else the 16-wide median
+    pred0 = jnp.where((ptype == 2)[:, None], pred_8x16_0,
+                      jnp.where(((ptype == 1) & (ref_b == 0))[:, None],
+                                mv_b, pred16))
+    # ---- part1 ----
+    # 16x8 bottom: A = left MB rows 2-3 (br channel); shortcut on A;
+    # B = own part0 (always inter, ref 0); C unavailable → D = left MB
+    # rows 0-1 (tr channel)
+    mv_lbr = f(z2.at[:, 1:].set(br[:, :-1]))
+    ref_lbr = f(un.at[:, 1:].set(ref_g[:, :-1]))
+    mv_ltr, ref_ltr = mv_a, ref_a
+    p1_16x8 = mvpred.predict_mv_jnp(mv_lbr, ref_lbr, mv,
+                                    jnp.zeros_like(ref_lbr), mv_ltr,
+                                    ref_ltr)
+    p1_16x8 = jnp.where((ref_lbr == 0)[:, None], mv_lbr, p1_16x8)
+    # 8x16 right: A = own part0; B = top MB col-2 cell (br channel);
+    # C = top-right MB bottom-left (bl), D-subst -> top MB bl; shortcut
+    # on C
+    mv_tbl, ref_tbl = topgrid(bl)
+    # raw C (top-right MB bl, no MB-level D substitution)
+    mv_cr = z2.at[1:, :-1].set(bl[:-1, 1:])
+    ref_cr = un.at[1:, :-1].set(ref_g[:-1, 1:])
+    ref_cr = jnp.where(mj, UN, ref_cr)
+    mv_cr = jnp.where(mj[..., None], 0, mv_cr)
+    mv_cr, ref_cr = f(mv_cr), f(ref_cr)
+    use_d1 = ref_cr == UN
+    mv_c1 = jnp.where(use_d1[:, None], mv_tbl, mv_cr)
+    ref_c1 = jnp.where(use_d1, ref_tbl, ref_cr)
+    p1_8x16 = mvpred.predict_mv_jnp(mv, jnp.zeros_like(ref_tbr),
+                                    mv_tbr, ref_tbr, mv_c1, ref_c1)
+    p1_8x16 = jnp.where((ref_c1 == 0)[:, None], mv_c1, p1_8x16)
+    pred1 = jnp.where((ptype == 1)[:, None], p1_16x8, p1_8x16)
+    return mv - pred0, mv2 - pred1, pred16
+
+
 def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     """P-frame grids (mirror of slice_writer.serialize_frame_mbs_p).
 
-    Returns (values, lengths, skipped [n] bool).
+    When `mb` carries ptype/mv2 (16x8 / 8x16 partitions), the header
+    gains the second partition's mvd slots and mb_type follows Table
+    7-13 (0/1/2).  Returns (values, lengths, skipped [n] bool).
     """
     n = wm * hm
+    parts_mode = "ptype" in mb
     is_inter = mb["is_inter"].astype(bool)
     sel16 = mb["sel16"].astype(bool) & ~is_inter
-    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_P
-    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_P
+    n_slots = MB_SLOTS_P + (2 if parts_mode else 0)
+    hdr_slots = HDR_SLOTS_P + (2 if parts_mode else 0)
+    vals = [jnp.zeros(n, jnp.int32)] * n_slots
+    lens = [jnp.zeros(n, jnp.int32)] * n_slots
     luma_ac = mb["luma_ac"].astype(jnp.int32)
     cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
         sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
 
     mv = mb["mv"].astype(jnp.int32)
-    mv_map = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
-    ref_map = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm).astype(jnp.int32)
-    nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
-    mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"], nb["mv_b"],
-                                    nb["ref_b"], nb["mv_c"], nb["ref_c"])
-    mvd = mv - mv_pred
+    if parts_mode:
+        ptype = mb["ptype"].astype(jnp.int32)
+        mvd, mvd1, mv_pred = _partition_mvds_j(mb, wm, hm, slice_rows)
+    else:
+        ptype = jnp.zeros(n, jnp.int32)
+        mv_map = jnp.where(is_inter[:, None], mv, 0).reshape(hm, wm, 2)
+        ref_map = jnp.where(is_inter, 0, mvpred.INTRA).reshape(hm, wm)\
+            .astype(jnp.int32)
+        nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
+        mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"],
+                                        nb["mv_b"], nb["ref_b"],
+                                        nb["mv_c"], nb["ref_c"])
+        mvd = mv - mv_pred
 
     mv_skip = mb["mv_skip"].astype(jnp.int32)
-    skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
+    skipped = is_inter & (ptype == 0) \
+        & (mv == mv_skip).all(axis=1) & (cbp == 0)
 
     # mb_skip_run per coded MB: distance to previous coded MB in the slice
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -483,7 +622,7 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     mbt_intra = 5 + jnp.where(sel16,
                               1 + mb["i16mode"].astype(jnp.int32)
                               + 4 * cbp_chroma + 12 * (cbp_luma > 0), 0)
-    mbt = jnp.where(is_inter, 0, mbt_intra)
+    mbt = jnp.where(is_inter, ptype, mbt_intra)
     tc_, tl_ = ue_code_j(mbt)
     vals[1] = jnp.where(coded, tc_.astype(jnp.int32), 0)
     lens[1] = jnp.where(coded, tl_, 0)
@@ -501,18 +640,28 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
         code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
         vals[k] = jnp.where(inter_coded, code.astype(jnp.int32), 0)
         lens[k] = jnp.where(inter_coded, ln, 0)
+    cbp_slot = 21
+    if parts_mode:
+        # second partition's mvd (x then y) right after part0's
+        on1 = inter_coded & (ptype > 0)
+        for k, comp in ((21, 1), (22, 0)):
+            code, ln = ue_code_j(se_to_ue_j(mvd1[:, comp]))
+            vals[k] = jnp.where(on1, code.astype(jnp.int32), 0)
+            lens[k] = jnp.where(on1, ln, 0)
+        cbp_slot = 23
 
     ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
     cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
-    vals[21] = jnp.where(inter_coded, cp.astype(jnp.int32),
-                         jnp.where(is_i4, ci.astype(jnp.int32), 0))
-    lens[21] = jnp.where(inter_coded, lp_, jnp.where(is_i4, li_, 0))
+    vals[cbp_slot] = jnp.where(inter_coded, cp.astype(jnp.int32),
+                               jnp.where(is_i4, ci.astype(jnp.int32), 0))
+    lens[cbp_slot] = jnp.where(inter_coded, lp_,
+                               jnp.where(is_i4, li_, 0))
 
     has_delta = coded & (sel16 | (cbp > 0))
-    vals[22] = jnp.where(has_delta, 1, 0)
-    lens[22] = jnp.where(has_delta, 1, 0)
+    vals[cbp_slot + 1] = jnp.where(has_delta, 1, 0)
+    lens[cbp_slot + 1] = jnp.where(has_delta, 1, 0)
 
-    _residual_slots_j(vals, lens, HDR_SLOTS_P, mb, sel16, cbp_luma,
+    _residual_slots_j(vals, lens, hdr_slots, mb, sel16, cbp_luma,
                       cbp_chroma, wm, hm, slice_rows)
     return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1), skipped
 

@@ -85,27 +85,99 @@ def full_search_16x16(orig_y, ref_pad, pad: int, search_range: int,
     return jnp.stack([dy, dx], axis=1), jnp.min(flat, axis=1)
 
 
-def subpel_refine(orig_y, planes, pad: int, mv_int, lam: int,
-                  width_mbs: int, height_mbs: int):
-    """Half- then quarter-pel refinement with SATD cost (JM style).
+def full_search_parts(orig_y, ref_pad, pad: int, search_range: int,
+                      lam: int, width_mbs: int, height_mbs: int):
+    """Integer full search for the 16x8 / 8x16 halves of every MB.
 
-    mv_int: [nMB, 2] full-pel. Returns mv_q [nMB, 2] quarter-pel.
+    The four half-block SSD maps come from four cross-correlation
+    sweeps with half-size kernels over the SAME search windows the
+    16x16 search uses (the halves stay anchored to the MB origin, so a
+    candidate (dy, dx) reads the window at row/col offset +8 for the
+    second half).  Returns {"top"|"bot"|"left"|"right": mv_int [n, 2]}.
     """
+    r = search_range
     n = width_mbs * height_mbs
     mb_r = jnp.arange(n, dtype=jnp.int32) // width_mbs
     mb_c = jnp.arange(n, dtype=jnp.int32) % width_mbs
-    y0 = mb_r * 16 + pad
-    x0 = mb_c * 16 + pad
+    win = 16 + 2 * r
+
+    def gwin(rr, cc):
+        return jax.lax.dynamic_slice(
+            ref_pad, (rr * 16 + pad - r, cc * 16 + pad - r), (win, win))
+
+    windows = jax.vmap(gwin)(mb_r, mb_c).astype(jnp.float32)
 
     def gmb(rr, cc):
         return jax.lax.dynamic_slice(orig_y, (rr * 16, cc * 16), (16, 16))
 
+    origs = jax.vmap(gmb)(mb_r, mb_c).astype(jnp.float32)
+
+    def corr_with(kernels):
+        # kernels [n, kh, kw] -> per-MB correlation maps
+        return jax.lax.conv_general_dilated(
+            windows[None], kernels[:, None],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=n)[0]
+
+    def energy(kh, kw):
+        ones = jnp.ones((1, 1, kh, kw), jnp.float32)
+        return jax.lax.conv_general_dilated(
+            (windows * windows)[:, None], ones,
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+
+    bits = jnp.asarray(mv_bits_table(r), dtype=jnp.float32)
+    prior = bits[None, :, None] + bits[None, None, :]
+
+    out = {}
+    w2h = energy(8, 16)                      # [n, 2r+9, 2r+1]
+    w2v = energy(16, 8)                      # [n, 2r+1, 2r+9]
+    for key, blk, w2, off in (
+            ("top", origs[:, :8, :], w2h, (0, 0)),
+            ("bot", origs[:, 8:, :], w2h, (8, 0)),
+            ("left", origs[:, :, :8], w2v, (0, 0)),
+            ("right", origs[:, :, 8:], w2v, (0, 8))):
+        corr = corr_with(blk)
+        dy0, dx0 = off
+        span = 2 * r + 1
+        c = jax.lax.dynamic_slice_in_dim(corr, dy0, span, 1)
+        c = jax.lax.dynamic_slice_in_dim(c, dx0, span, 2)
+        w = jax.lax.dynamic_slice_in_dim(w2, dy0, span, 1)
+        w = jax.lax.dynamic_slice_in_dim(w, dx0, span, 2)
+        o2 = (blk * blk).sum(axis=(1, 2))
+        ssd = w - 2.0 * c + o2[:, None, None]
+        flat = (ssd + lam * prior).reshape(n, -1)
+        best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+        out[key] = jnp.stack([best // span - r, best % span - r], axis=1)
+    return out
+
+
+def subpel_refine(orig_y, planes, pad: int, mv_int, lam: int,
+                  width_mbs: int, height_mbs: int,
+                  oy: int = 0, ox: int = 0, bh: int = 16, bw: int = 16):
+    """Half- then quarter-pel refinement with SATD cost (JM style).
+
+    mv_int: [nMB, 2] full-pel. Returns mv_q [nMB, 2] quarter-pel.
+    (oy, ox, bh, bw) select a partition of each MB (default: whole MB).
+    """
+    n = width_mbs * height_mbs
+    mb_r = jnp.arange(n, dtype=jnp.int32) // width_mbs
+    mb_c = jnp.arange(n, dtype=jnp.int32) % width_mbs
+    y0 = mb_r * 16 + oy + pad
+    x0 = mb_c * 16 + ox + pad
+
+    def gmb(rr, cc):
+        return jax.lax.dynamic_slice(
+            orig_y, (rr * 16 + oy, cc * 16 + ox), (bh, bw))
+
     origs = jax.vmap(gmb)(mb_r, mb_c).astype(jnp.int32)
 
     def satd_at(mv_q):
-        pred = ki.mc_luma(planes, y0, x0, mv_q)
+        pred = ki.mc_luma(planes, y0, x0, mv_q, bh=bh, bw=bw)
         diff = origs - pred
-        blk = diff.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+        blk = diff.reshape(n, bh // 4, 4, bw // 4, 4)\
+            .transpose(0, 1, 3, 2, 4)
         return kt.satd4x4(blk).sum(axis=(1, 2))
 
     def refine(mv_q, step: int):

@@ -95,9 +95,17 @@ class TiledEncoder:
             self.gop_mode = "ippp"
         self.sps, self.pps, self.cabac = build_params(cfg, self.gop_mode)
         self._enc_i = make_intra_encoder(band_sched)
+        # 16x8/8x16 partitions: same auto rule as Encoder (CAVLC IPPP)
+        self.partitions = (cfg.inter_partitions
+                           if cfg.inter_partitions is not None
+                           else (self.gop_mode == "ippp"
+                                 and not self.cabac))
+        self.partitions = (self.partitions and self.gop_mode == "ippp"
+                           and not self.cabac)
         self._enc_p = make_inter_encoder(band_sched,
                                          search_range=cfg.search_range,
-                                         ref_prepadded=True)
+                                         ref_prepadded=True,
+                                         partitions=self.partitions)
         self._enc_b = None
         if self.gop_mode == "bgop":
             self._enc_b = make_b_encoder(band_sched,
@@ -166,10 +174,28 @@ class TiledEncoder:
             elif mode == "p":
                 is_inter = mbd["is_inter"].astype(bool)
                 mv = mbd["mv"].astype(jnp.int32)
-                mv_grid = jnp.where(is_inter[:, None], mv, 0)\
-                    .reshape(bh, wm, 2)
-                ref_grid = jnp.where(is_inter, 0, mvpred.INTRA)\
-                    .reshape(bh, wm)
+                if "ptype" in mbd:
+                    # per-4x4 single-list grids for partitioned MBs
+                    m0 = jnp.where(is_inter[:, None], mv, 0)\
+                        .reshape(bh, wm, 2)
+                    m2 = jnp.where(is_inter[:, None],
+                                   mbd["mv2"].astype(jnp.int32), 0)\
+                        .reshape(bh, wm, 2)
+                    pt4 = jnp.repeat(jnp.repeat(
+                        mbd["ptype"].reshape(bh, wm), 4, 0), 4, 1)
+                    rsel = (jnp.arange(bh * 4) % 4 >= 2)[:, None]
+                    csel = (jnp.arange(wm * 4) % 4 >= 2)[None, :]
+                    use2 = jnp.where(pt4 == 1, rsel,
+                                     jnp.where(pt4 == 2, csel, False))
+                    up = lambda a: jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+                    mv_grid = jnp.where(use2[..., None], up(m2), up(m0))
+                    ref_grid = jnp.where(
+                        up(is_inter.reshape(bh, wm)), 0, mvpred.INTRA)
+                else:
+                    mv_grid = jnp.where(is_inter[:, None], mv, 0)\
+                        .reshape(bh, wm, 2)
+                    ref_grid = jnp.where(is_inter, 0, mvpred.INTRA)\
+                        .reshape(bh, wm)
             else:
                 is_inter = jnp.zeros(band_n, dtype=bool)
                 mv_grid = jnp.zeros((bh, wm, 2), jnp.int32)
