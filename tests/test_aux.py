@@ -137,3 +137,23 @@ def test_error_concealment_synthesis():
     assert dec.errors                    # the corruption was seen
     for i, f in enumerate(out):
         assert psnr(frames[i][0], f[0]) > 18, i   # synthesized, not noise
+
+
+def test_syntax_trace_mode():
+    """Syntax-trace decode (JM TRACE parity, SURVEY §5): one line per
+    slice header and per macroblock with the key syntax values."""
+    import io
+    from tpu264.decode.decoder import Decoder
+
+    W2, H2 = 96, 80
+    cfg = EncoderConfig(width=W2, height=H2, qp=30, intra_period=0)
+    enc = Encoder(cfg)
+    frames = [synth_frame(W2, H2, t) for t in range(3)]
+    stream = enc.encode_sequence(frames)
+    sink = io.StringIO()
+    Decoder(trace=sink).decode(stream)
+    lines = sink.getvalue().splitlines()
+    n_mbs = (W2 // 16) * (H2 // 16)
+    assert sum(ln.startswith("SLICE") for ln in lines) == 3
+    assert sum(ln.startswith("MB ") for ln in lines) == 3 * n_mbs
+    assert any("l0=(" in ln for ln in lines)      # inter MBs traced

@@ -22,11 +22,19 @@ def main(argv=None) -> int:
     ap.add_argument("--conceal", action="store_true",
                     help="conceal lost/corrupt slices (JM erc parity) "
                          "instead of aborting")
+    ap.add_argument("--trace", help="write a per-slice/per-MB syntax "
+                                    "trace here (JM TRACE parity)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
         stream = f.read()
-    frames = decode_annexb(stream, conceal=args.conceal)
+    if args.trace:
+        from tpu264.decode.decoder import Decoder
+        with open(args.trace, "w") as tf:
+            frames = Decoder(conceal=args.conceal,
+                             trace=tf).decode(stream)
+    else:
+        frames = decode_annexb(stream, conceal=args.conceal)
     if args.output:
         write_yuv420(args.output, frames)
     if args.md5:

@@ -129,9 +129,13 @@ class Decoder:
     (temporal zero-mv copy when a reference exists, spatial neighbor
     fill otherwise) instead of aborting the decode."""
 
-    def __init__(self, conceal: bool = False) -> None:
+    def __init__(self, conceal: bool = False, trace=None) -> None:
         self.conceal = conceal
         self.errors: list[str] = []
+        # syntax trace sink (JM TRACE parity): a file-like object that
+        # receives one line per slice header / macroblock with the key
+        # syntax values — diffable against another decoder's trace
+        self.trace = trace
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -264,6 +268,29 @@ class Decoder:
                         break
                 else:
                     break
+
+    def _tr(self, msg: str) -> None:
+        if self.trace is not None:
+            self.trace.write(msg + "\n")
+
+    def _trace_mb(self, pic, addr: int) -> None:
+        """One trace line per decoded MB from the final picture state
+        (mode, per-list ref/mv at the top-left cell, qp, coeff count)."""
+        mr, mc = addr // pic.wm, addr % pic.wm
+        g4r, g4c = mr * 4, mc * 4
+        intra = (pic.ref4[0, g4r, g4c] == mvpred.INTRA
+                 and pic.ref4[1, g4r, g4c] == mvpred.INTRA)
+        parts = []
+        for lx in (0, 1):
+            if int(pic.ref4[lx, g4r, g4c]) >= 0:
+                mv = pic.mv4[lx, g4r, g4c]
+                parts.append(f"l{lx}=({int(pic.ref4[lx, g4r, g4c])},"
+                             f"{int(mv[0])},{int(mv[1])})")
+        tc = int(pic.luma_tc[g4r:g4r + 4, g4c:g4c + 4].sum())
+        self._tr(f"MB {addr} ({mr},{mc}) {'I' if intra else 'P'}"
+                 f" qp={int(pic.qp_mb[mr, mc])}"
+                 f" t8={int(pic.t8[mr, mc])} tc={tc} "
+                 + " ".join(parts))
 
     def _conceal_missing(self, pic):
         """Error concealment (JM `erc_do_i`/`erc_do_p` capability): MBs
@@ -415,6 +442,15 @@ class Decoder:
         sid = self._slice_counter
         pic = self._pic
         qp = hdr.slice_qp
+        if self.trace is not None:
+            self._tr(f"SLICE sid={sid} type={hdr.slice_type} "
+                     f"first_mb={hdr.first_mb_in_slice} "
+                     f"frame_num={hdr.frame_num} poc={pic.poc} qp={qp} "
+                     f"idr={int(hdr.is_idr)} "
+                     f"deblock_idc={hdr.disable_deblocking_filter_idc} "
+                     f"nref=({hdr.num_ref_idx_l0_active},"
+                     f"{hdr.num_ref_idx_l1_active}) "
+                     f"mmco={list(hdr.mmco)}")
         idc = (hdr.disable_deblocking_filter_idc
                if self.pps.deblocking_filter_control_present_flag else 0)
         assert pic.deblock_idc in (None, idc), \
@@ -431,6 +467,8 @@ class Decoder:
         if hdr.slice_type == SLICE_I:
             while True:
                 qp = self._decode_mb_i(r, pic, addr, qp, sid)
+                if self.trace is not None:
+                    self._trace_mb(pic, addr)
                 addr += 1
                 pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
@@ -446,6 +484,8 @@ class Decoder:
                                                  skip=True)
                     else:
                         self._decode_mb_skip(pic, addr, sid, qp)
+                    if self.trace is not None:
+                        self._trace_mb(pic, addr)
                     addr += 1
                     pic.n_decoded += 1
                 if addr >= n_mbs or not r.more_rbsp_data():
@@ -454,6 +494,8 @@ class Decoder:
                     qp = self._decode_mb_b(r, pic, addr, qp, sid)
                 else:
                     qp = self._decode_mb_p(r, pic, addr, qp, sid)
+                if self.trace is not None:
+                    self._trace_mb(pic, addr)
                 addr += 1
                 pic.n_decoded += 1
 
@@ -501,6 +543,8 @@ class Decoder:
                 self._recon_mb_cabac(pic, mr, mc, qp, mbv, sid,
                                      b_slice=b_slice)
                 pic.qp_mb[mr, mc] = qp
+            if self.trace is not None:
+                self._trace_mb(pic, addr)
             pic.n_decoded += 1
             addr += 1
             if parser.end_of_slice():
