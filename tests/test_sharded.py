@@ -90,3 +90,19 @@ def test_tiled_bgop_rate_control():
     target = br * 17 / cfg.frame_rate
     actual = 8 * len(stream)
     assert abs(actual - target) / target < 0.08, (actual, target)
+
+
+def test_tiled_cabac_overflow_fallback_byte_identical():
+    """When a band's CABAC record count exceeds the device compaction
+    cap, the tiled path must degrade to the exact host re-encode — not
+    assert (ADVICE r4).  Force-trip the host-side overflow check and
+    require the stream to stay byte-identical to the untripped run."""
+    W, H = 96, 96
+    frames = [synth_frame(W, H, t) for t in range(5)]
+    cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                        num_b_frames=2, symbol_mode="CABAC")
+    te = TiledEncoder(cfg, make_mesh(2, gop=1))
+    ref = te.encode_sequence([frames])[0]
+    te2 = TiledEncoder(cfg, make_mesh(2, gop=1))
+    te2._cabac_cap = 1          # every band "overflows" -> fallback path
+    assert te2.encode_sequence([frames])[0] == ref

@@ -166,8 +166,15 @@ class Encoder:
         self.partitions = (cfg.inter_partitions
                            if cfg.inter_partitions is not None
                            else (gop_mode == "ippp" and not self.cabac))
+        forced_off = (self.partitions
+                      and not (gop_mode == "ippp" and not self.cabac))
         self.partitions = (self.partitions and gop_mode == "ippp"
                            and not self.cabac)
+        if forced_off and cfg.inter_partitions:
+            import warnings
+            warnings.warn(
+                "inter_partitions requested but only supported for CAVLC "
+                "IPPP GOPs; encoding without partitions", stacklevel=2)
         if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
                 self.sched, search_range=cfg.search_range,

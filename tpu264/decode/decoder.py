@@ -258,6 +258,18 @@ class Decoder:
                     rp.short_term = False
                     rp.long_term_idx = op[1]
             self._dpb.append(rp)
+            # capacity guard: a conforming stream's MMCO ops keep the DPB
+            # within max_num_ref_frames; a hostile one (endless long-term
+            # marks, no releases) must not grow it unboundedly
+            while len(self._dpb) > max(1, self.sps.max_num_ref_frames):
+                for i, r in enumerate(self._dpb[:-1]):
+                    if r.short_term:
+                        self._dpb.pop(i)
+                        break
+                else:
+                    raise ValueError(
+                        "DPB overflow: more long-term references than "
+                        "max_num_ref_frames (non-conforming stream)")
         else:
             self._dpb.append(rp)
             # sliding window: evict the oldest SHORT-TERM ref
@@ -434,8 +446,8 @@ class Decoder:
         elif getattr(hdr, "pred_weights", None) is not None:
             self._wp = hdr.pred_weights
         if hdr.slice_type == SLICE_B:
-            # temporal direct (flag 0) needs MV scaling — unsupported; the
-            # error surfaces only when a direct/skip MB is encountered
+            # direct mode flavor: spatial (flag 1, 8.4.1.2.2) or temporal
+            # (flag 0, 8.4.1.2.3 via _direct_temporal_motion)
             self._direct_spatial = bool(
                 getattr(hdr, "direct_spatial_mv_pred_flag", 0))
         self._slice_counter += 1

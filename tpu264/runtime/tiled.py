@@ -54,6 +54,13 @@ def make_mesh(n_devices: int | None = None, gop: int | None = None):
     return Mesh(devs.reshape(gop, tile), ("gop", "tile"))
 
 
+def _cabac_fin(pay: bytes):
+    def fin(sink, pay=pay):
+        sink.cabac_align()
+        return sink.to_bytes() + pay
+    return fin
+
+
 class TiledEncoder:
     """Mesh-sharded encoder: `tile` axis = frame bands (H.264 slices),
     `gop` axis = independent sequences (data parallel).
@@ -100,8 +107,15 @@ class TiledEncoder:
                            if cfg.inter_partitions is not None
                            else (self.gop_mode == "ippp"
                                  and not self.cabac))
+        forced_off = (self.partitions
+                      and not (self.gop_mode == "ippp" and not self.cabac))
         self.partitions = (self.partitions and self.gop_mode == "ippp"
                            and not self.cabac)
+        if forced_off and cfg.inter_partitions:
+            import warnings
+            warnings.warn(
+                "inter_partitions requested but only supported for CAVLC "
+                "IPPP GOPs; encoding without partitions", stacklevel=2)
         self._enc_p = make_inter_encoder(band_sched,
                                          search_range=cfg.search_range,
                                          ref_prepadded=True,
@@ -345,14 +359,66 @@ class TiledEncoder:
         v = v.reshape(G, self.n_tiles, -1, v.shape[-1])
         return y, u, v
 
-    def _band_payloads(self, payload, qp, kind: str):
+    def _reencode_band_cabac(self, g: int, t: int, kind: str, qp,
+                             fb: dict) -> bytes:
+        """Exact host fallback for one band whose CABAC record count
+        overflowed the device compaction cap (pathological dense content):
+        re-run the (deterministic) band encode outside the sharded step
+        and binarize + range-code on the host with no cap.  Slow but
+        byte-identical to what the device path would produce uncapped —
+        mirrors Encoder._cabac_payloads' fallback."""
+        from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
+        bh, wm = self.band_hm, self.wm
+        qpg = int(qp[g])
+        y = np.asarray(fb["y"])[g, t]
+        u = np.asarray(fb["u"])[g, t]
+        v = np.asarray(fb["v"])[g, t]
+
+        def pad_band(planes, pad):
+            # host twin of the in-step ref_halos/halo_ext: vertical
+            # extension with real neighbor-band rows (frame edges
+            # replicate), then lateral edge padding
+            p = np.asarray(planes)[g].astype(np.int32)
+            full = p.reshape(-1, p.shape[-1])
+            bhpx = p.shape[-2]
+            s, e = t * bhpx, (t + 1) * bhpx
+            top = np.clip(np.arange(s - pad, s), 0, full.shape[0] - 1)
+            bot = np.clip(np.arange(e, e + pad), 0, full.shape[0] - 1)
+            ext = np.concatenate([full[top], full[s:e], full[bot]], 0)
+            return np.pad(ext, ((0, 0), (pad, pad)), mode="edge")
+
+        if kind == "i":
+            _, ys = self._enc_i(y, u, v, qpg)
+        elif kind == "p":
+            r0 = fb["r0"]
+            _, ys = self._enc_p(y, u, v, pad_band(r0[0], _PAD),
+                                pad_band(r0[1], _PAD // 2),
+                                pad_band(r0[2], _PAD // 2), qpg)
+        else:
+            r0, r1 = fb["r0"], fb["r1"]
+            cz = np.asarray(fb["cz"])[g, t]
+            _, ys = self._enc_b(y, u, v, pad_band(r0[0], _PAD),
+                                pad_band(r0[1], _PAD // 2),
+                                pad_band(r0[2], _PAD // 2),
+                                pad_band(r1[0], _PAD),
+                                pad_band(r1[1], _PAD // 2),
+                                pad_band(r1[2], _PAD // 2), cz, qpg)
+        mbd = reorder_wave_outputs_j(self.band_sched, ys)
+        mb = {k2: np.asarray(v2) for k2, v2 in mbd.items()}
+        payloads, _ = encode_frame_cabac_fast(
+            mb, wm, bh, [0], qpg,
+            p_slice=(kind == "p"), b_slice=(kind == "b"))
+        return payloads[0]
+
+    def _band_payloads(self, payload, qp, kind: str, fb: dict | None = None):
         """Host entropy finish: per-(lane, band) slice payload bytes.
 
         CAVLC: device-packed words → RBSP with the trailing skip run.
         CABAC: binarize the band's element grids and replay them through
         the native range coder (same path as the single-device Encoder).
         Returns [G][T] of (payload_bytes_fn, ) where the fn is applied
-        with the band's header sink."""
+        with the band's header sink.  `fb` carries the step inputs so an
+        overflowing band can be re-encoded on the host."""
         G, T = self.gop_size, self.n_tiles
         band_mbs = self.band_hm * self.wm
         out = [[None] * T for _ in range(G)]
@@ -375,45 +441,45 @@ class TiledEncoder:
                     out[g][t] = fin
             return out
         table = 0 if kind == "i" else 1
+        counts_np = np.asarray(
+            payload[2] if self._cengine is not None else payload[1])
+        # device compaction truncates records at the cap — those bands'
+        # payloads are unusable; degrade to an exact host re-encode
+        for g in range(G):
+            for t in range(T):
+                if int(counts_np[g, t, 0]) > self._cabac_cap:
+                    assert fb is not None, "overflow without step inputs"
+                    out[g][t] = _cabac_fin(
+                        self._reencode_band_cabac(g, t, kind, qp, fb))
         if self._cengine is not None:
             words_np = np.asarray(payload[0])
             nb_np = np.asarray(payload[1])
-            counts_np = np.asarray(payload[2])
-            assert int(counts_np.max()) <= self._cabac_cap, \
-                "CABAC record cap overflow (raise the cap)"
             for g in range(G):
                 for t in range(T):
-                    pay = words_np[g, t, 0].astype(">u4").tobytes()[
-                        :int(nb_np[g, t, 0])]
-
-                    def fin(sink, pay=pay):
-                        sink.cabac_align()
-                        return sink.to_bytes() + pay
-                    out[g][t] = fin
+                    if out[g][t] is None:
+                        out[g][t] = _cabac_fin(
+                            words_np[g, t, 0].astype(">u4").tobytes()[
+                                :int(nb_np[g, t, 0])])
             return out
         from tpu264.entropy import cabac_native
-        counts_np = np.asarray(payload[1])
-        assert int(counts_np.max()) <= self._cabac_cap, \
-            "CABAC record cap overflow (raise the cap)"
         # pow2-bucketed transfer of the padded packed record streams
         from tpu264.entropy.cabac_binarize_j import unpack_records_np
+        need = max([int(counts_np[g, t, 0]) for g in range(G)
+                    for t in range(T) if out[g][t] is None], default=1)
         bucket = 4096
-        while bucket < int(counts_np.max()):
+        while bucket < need:
             bucket *= 2
         bucket = min(bucket, self._cabac_cap)
         recs_np = np.asarray(payload[0][..., :bucket])
         for g in range(G):
             for t in range(T):
+                if out[g][t] is not None:
+                    continue
                 c = int(counts_np[g, t, 0])
                 kk, aa, bb = unpack_records_np(recs_np[g, t, 0, :c])
-                pay = cabac_native.encode_records(
+                out[g][t] = _cabac_fin(cabac_native.encode_records(
                     kk, aa.astype(np.int32), bb.astype(np.int32),
-                    table, int(qp[g]))
-
-                def fin(sink, pay=pay):
-                    sink.cabac_align()
-                    return sink.to_bytes() + pay
-                out[g][t] = fin
+                    table, int(qp[g])))
         return out
 
     def _emit_frame(self, outs, fins, slice_type, frame_num, qp,
@@ -489,7 +555,8 @@ class TiledEncoder:
             marks = [len(o) for o in outs]
             if is_idr:
                 ry, ru, rv, payload, cz, sad = self._step_i(y, u, v, qp)
-                fins = self._band_payloads(payload, qp, "i")
+                fins = self._band_payloads(payload, qp, "i",
+                                           fb=dict(y=y, u=u, v=v))
                 self._emit_frame(outs, fins, _SI, 0, qp,
                                  idr_pic_id=idr_count % 2, is_idr=True)
                 idr_count += 1
@@ -497,7 +564,8 @@ class TiledEncoder:
             else:
                 ry, ru, rv, payload, cz, sad = self._step_p(
                     y, u, v, recon[0], recon[1], recon[2], qp)
-                fins = self._band_payloads(payload, qp, "p")
+                fins = self._band_payloads(
+                    payload, qp, "p", fb=dict(y=y, u=u, v=v, r0=recon))
                 self._emit_frame(outs, fins, _SP, list(frame_num), qp,
                                  nal_ref_idc=2)
                 frame_num = [(f + 1) % (1 << self.sps.log2_max_frame_num)
@@ -538,7 +606,8 @@ class TiledEncoder:
                 anchor_qp = qp
                 disp_base = disp
                 ry, ru, rv, payload, cz, sad = self._step_i(y, u, v, qp)
-                fins = self._band_payloads(payload, qp, "i")
+                fins = self._band_payloads(payload, qp, "i",
+                                           fb=dict(y=y, u=u, v=v))
                 self._emit_frame(outs, fins, _SI, 0, qp,
                                  idr_pic_id=idr_count % 2, is_idr=True,
                                  poc_lsb=0)
@@ -558,7 +627,9 @@ class TiledEncoder:
                     reorder = ((0, diff - 1),)
                 ry, ru, rv, payload, cz, sad = self._step_p(
                     y, u, v, *recons[r0], qp)
-                fins = self._band_payloads(payload, qp, "p")
+                fins = self._band_payloads(
+                    payload, qp, "p", fb=dict(y=y, u=u, v=v,
+                                              r0=recons[r0]))
                 self._emit_frame(outs, fins, _SP, fn, qp, poc_lsb=poc,
                                  nal_ref_idc=2, reorder_l0=reorder)
                 fn_of[disp] = fn
@@ -573,7 +644,9 @@ class TiledEncoder:
                 is_ref = kind == "Bref"
                 ry, ru, rv, payload, cz, sad = self._step_b(
                     y, u, v, *recons[r0], *recons[r1], cz_of[r1], qp)
-                fins = self._band_payloads(payload, qp, "b")
+                fins = self._band_payloads(
+                    payload, qp, "b", fb=dict(y=y, u=u, v=v, r0=recons[r0],
+                                              r1=recons[r1], cz=cz_of[r1]))
                 self._emit_frame(outs, fins, _SB, fn, qp, poc_lsb=poc,
                                  nal_ref_idc=2 if is_ref else 0)
                 if is_ref:
