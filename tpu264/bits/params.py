@@ -24,6 +24,7 @@ class SPS:
     pic_order_cnt_type: int = 2
     log2_max_pic_order_cnt_lsb: int = 8   # used when poc type 0
     max_num_ref_frames: int = 1
+    qpprime_y_zero_transform_bypass_flag: int = 0  # lossless (prof 244)
     gaps_in_frame_num_allowed: int = 0
     pic_width_in_mbs: int = 11
     pic_height_in_map_units: int = 9
@@ -102,7 +103,7 @@ class SPS:
             if chroma_format_idc == 3:
                 r.read(1)
             read_ue(r); read_ue(r)    # bit depths
-            r.read(1)                 # transform bypass
+            sps.qpprime_y_zero_transform_bypass_flag = r.read(1)
             if r.read(1):             # scaling matrices
                 raise NotImplementedError("seq scaling matrices")
             if chroma_format_idc != 1:

@@ -523,8 +523,13 @@ class Decoder:
         p_slice = hdr.slice_type == SLICE_P
         b_slice = hdr.slice_type == SLICE_B
         table = (1 + hdr.cabac_init_idc) if (p_slice or b_slice) else 0
-        parser = CabacSliceParser(rbsp, r.pos, table, hdr.slice_qp,
-                                  pic.cabac_state, sid)
+        parser = CabacSliceParser(
+            rbsp, r.pos, table, hdr.slice_qp, pic.cabac_state, sid,
+            p_slice=p_slice, b_slice=b_slice,
+            nref0=hdr.num_ref_idx_l0_active if (p_slice or b_slice) else 1,
+            nref1=hdr.num_ref_idx_l1_active if b_slice else 1,
+            t8_mode=bool(self.pps.transform_8x8_mode_flag),
+            direct8=bool(self.sps.direct_8x8_inference_flag))
         dec = self
 
         class IntraCB:
@@ -533,6 +538,9 @@ class Decoder:
 
             def set(self, gr, gc, mode):
                 pic.modes[gr, gc] = mode
+
+            def set8(self, gr, gc, mode):
+                pic.modes[gr:gr + 2, gc:gc + 2] = mode
 
         cb = IntraCB()
         addr = hdr.first_mb_in_slice
@@ -570,85 +578,54 @@ class Decoder:
         al = self._avail_mb(pic, mr, mc, 0, -1, sid)
         atl = self._avail_mb(pic, mr, mc, -1, -1, sid)
         atr = self._avail_mb(pic, mr, mc, -1, 1, sid)
-        cbp_l, cbp_c = mbv["cbp_luma"], mbv["cbp_chroma"]
+
+        if "pcm" in mbv:                 # I_PCM (spec 8.3.5)
+            y16, u8, v8 = mbv["pcm"]
+            pic.set_intra_mb(mr, mc)
+            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = y16
+            pic.u[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = u8
+            pic.v[mr * 8:mr * 8 + 8, mc * 8:mc * 8 + 8] = v8
+            pic.luma_tc[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 16
+            pic.luma_tc_db[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 16
+            pic.chroma_tc[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 16
+            return
 
         if mbv.get("direct"):
-            pred_y, pred_u, pred_v = self._direct_mc_store(pic, mr, mc,
-                                                           sid)
-            recon = np.zeros((16, 16), dtype=np.int64)
-            for idx, (by, bx) in enumerate(BLK_ORDER):
-                scanned = mbv["luma4"][idx]
-                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
-                coeff = np.zeros(16, dtype=np.int64)
-                coeff[rt.ZIGZAG_4x4] = scanned
-                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
-            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
-                rt.clip1(pred_y + recon)
-            self._recon_chroma_vals(pic, mr, mc, qp, mbv,
-                                    (pred_u, pred_v))
+            preds = self._direct_mc_store(pic, mr, mc, sid)
+            self._recon_inter_tail_vals(pic, mr, mc, qp, preds, mbv)
             return
 
         if mbv["inter"] and b_slice:
-            preds = []
-            for lx, use in ((0, mbv["use0"]), (1, mbv["use1"])):
-                if not use:
-                    pic.set_motion(lx, mr * 4, mc * 4, 4, 4, 0,
-                                   mvpred.INTRA)
-                    continue
-                mvd_y, mvd_x = mbv[f"mvd{lx}"]
-                pred = self._mv_pred_part(pic, lx, 0, mr * 4, mc * 4,
-                                          4, 4, sid)
-                mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-                reflist = self._list0 if lx == 0 else self._list1
-                pic.set_motion(lx, mr * 4, mc * 4, 4, 4, mv, 0,
-                               pid=reflist[0].uid)
-                preds.append(self._mc_recon(pic, mr, mc, mv, reflist[0]))
-            if len(preds) == 2:
-                pred_y, pred_u, pred_v = self._weight_bi(
-                    preds[0], 0, preds[1], 0)
-            elif mbv["use0"]:
-                pred_y, pred_u, pred_v = self._weight_uni(preds[0], 0, 0)
-            else:
-                pred_y, pred_u, pred_v = self._weight_uni(preds[0], 1, 0)
-            recon = np.zeros((16, 16), dtype=np.int64)
-            for idx, (by, bx) in enumerate(BLK_ORDER):
-                scanned = mbv["luma4"][idx]
-                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
-                coeff = np.zeros(16, dtype=np.int64)
-                coeff[rt.ZIGZAG_4x4] = scanned
-                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
-            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
-                rt.clip1(pred_y + recon)
-            self._recon_chroma_vals(pic, mr, mc, qp, mbv,
-                                    (pred_u, pred_v))
+            preds = self._recon_b_motion_cabac(pic, mr, mc, mbv, sid)
+            self._recon_inter_tail_vals(pic, mr, mc, qp, preds, mbv)
             return
 
         if mbv["inter"]:
-            mvd_y, mvd_x = mbv["mvd"]
-            pred = self._mv_pred(pic, mr, mc, sid)
-            mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
-            pic.set_motion(0, mr * 4, mc * 4, 4, 4, mv, 0,
-                           pid=self._list0[0].uid)
-            pic.set_motion(1, mr * 4, mc * 4, 4, 4, 0, mvpred.INTRA)
-            pred_y, pred_u, pred_v = self._weight_uni(
-                self._mc_recon(pic, mr, mc, mv), 0, 0)
-            recon = np.zeros((16, 16), dtype=np.int64)
-            for idx, (by, bx) in enumerate(BLK_ORDER):
-                scanned = mbv["luma4"][idx]
-                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
-                coeff = np.zeros(16, dtype=np.int64)
-                coeff[rt.ZIGZAG_4x4] = scanned
-                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
-            pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
-                rt.clip1(pred_y + recon)
-            self._recon_chroma_vals(pic, mr, mc, qp, mbv, (pred_u, pred_v))
+            preds = self._recon_p_motion_cabac(pic, mr, mc, mbv, sid)
+            self._recon_inter_tail_vals(pic, mr, mc, qp, preds, mbv)
             return
 
+        self._check_bypass(qp)
         pic.set_intra_mb(mr, mc)
-        if mbv["mb_type"] == 0:          # Intra_4x4
+        if mbv["mb_type"] == 0 and "modes8" in mbv:   # Intra_8x8
+            from tpu264.ref import transform8 as rt8
+            pic.t8[mr, mc] = True
+
+            def res_cb(b8, coded):
+                g2r = mr * 4 + (b8 // 2) * 2
+                g2c = mc * 4 + (b8 % 2) * 2
+                scanned = (mbv["luma8"][b8] if coded
+                           else np.zeros(64, dtype=np.int64))
+                cnt = int((scanned != 0).sum())
+                pic.luma_tc[g2r:g2r + 2, g2c:g2c + 2] = cnt
+                pic.luma_tc_db[g2r:g2r + 2, g2c:g2c + 2] = cnt
+                coeff = np.zeros(64, dtype=np.int64)
+                coeff[rt8.ZIGZAG_8x8] = scanned
+                return coeff.reshape(8, 8)
+
+            self._recon_i8(res_cb, pic, mr, mc, qp, mbv["modes8"],
+                           mbv["cbp_luma"], at, al, atl, atr, sid)
+        elif mbv["mb_type"] == 0:        # Intra_4x4
             modes = mbv["modes"]
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 gr, gc = mr * 4 + by, mc * 4 + bx
@@ -725,6 +702,236 @@ class Decoder:
             planes[comp][y0:y0 + 8, x0:x0 + 8] = self._chroma_comp_recon(
                 pic, mr, mc, cqp, mbv, comp, preds[comp])
 
+    def _recon_inter_tail_vals(self, pic, mr, mc, qp, preds, mbv):
+        """Inter-MB residual add from parsed values (CABAC twin of
+        _parse_inter_residual): 4x4 or 8x8-transform luma + chroma."""
+        self._check_bypass(qp)
+        pred_y, pred_u, pred_v = preds
+        recon = np.zeros((16, 16), dtype=np.int64)
+        if mbv.get("t8"):
+            from tpu264.ref import transform8 as rt8
+            pic.t8[mr, mc] = True
+            for b8 in range(4):
+                by, bx = b8 // 2, b8 % 2
+                scanned = mbv["luma8"][b8]
+                cnt = int((scanned != 0).sum())
+                g2r, g2c = mr * 4 + by * 2, mc * 4 + bx * 2
+                pic.luma_tc[g2r:g2r + 2, g2c:g2c + 2] = cnt
+                pic.luma_tc_db[g2r:g2r + 2, g2c:g2c + 2] = cnt
+                coeff = np.zeros(64, dtype=np.int64)
+                coeff[rt8.ZIGZAG_8x8] = scanned
+                recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rt8.idct8x8(
+                    rt8.dequant8x8(coeff.reshape(8, 8), qp))
+        else:
+            for idx, (by, bx) in enumerate(BLK_ORDER):
+                scanned = mbv["luma4"][idx]
+                pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (scanned != 0).sum()
+                coeff = np.zeros(16, dtype=np.int64)
+                coeff[rt.ZIGZAG_4x4] = scanned
+                recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+        pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
+            rt.clip1(pred_y + recon)
+        self._recon_chroma_vals(pic, mr, mc, qp, mbv, (pred_u, pred_v))
+
+    def _recon_p_motion_cabac(self, pic, mr, mc, mbv, sid):
+        """P-MB motion from parsed CABAC values (16x16/16x8/8x16 +
+        P_8x8 sub tree) → stored motion + weighted MC prediction."""
+        g4r, g4c = mr * 4, mc * 4
+        pic.set_motion(1, g4r, g4c, 4, 4, 0, mvpred.INTRA)
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+
+        def mc_into(dr4, dc4, h4b, w4b, mv, ref_idx):
+            py, pu, pv = self._weight_uni(self._mc_part(
+                pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4,
+                h4b * 4, w4b * 4, mv, self._list0[ref_idx]), 0, ref_idx)
+            pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
+            pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
+            pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
+
+        ptype = mbv["ptype"]
+        refs, mvds = mbv["refs"], mbv["mvds"]
+        if ptype in (0, 1, 2):
+            for (dr4, dc4, h4b, w4b), ref_idx, (mvd_y, mvd_x) in zip(
+                    self._P_PARTS[ptype], refs, mvds):
+                pred = self._mv_pred_part(pic, 0, ref_idx, g4r + dr4,
+                                          g4c + dc4, h4b, w4b, sid)
+                mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                pic.set_motion(0, g4r + dr4, g4c + dc4, h4b, w4b, mv,
+                               ref_idx, pid=self._list0[ref_idx].uid)
+                mc_into(dr4, dc4, h4b, w4b, mv, ref_idx)
+        else:                            # P_8x8 / P_8x8ref0
+            subs = mbv["subs"]
+            for b8 in range(4):
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                for (dr4, dc4, h4b, w4b), (mvd_y, mvd_x) in zip(
+                        self._SUB_PARTS[subs[b8]], mvds[b8]):
+                    pred = self._mv_pred_part(
+                        pic, 0, refs[b8], g4r + br4 + dr4,
+                        g4c + bc4 + dc4, h4b, w4b, sid)
+                    mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                    pic.set_motion(0, g4r + br4 + dr4, g4c + bc4 + dc4,
+                                   h4b, w4b, mv, refs[b8],
+                                   pid=self._list0[refs[b8]].uid)
+                    mc_into(br4 + dr4, bc4 + dc4, h4b, w4b, mv, refs[b8])
+        return pred_y, pred_u, pred_v
+
+    def _recon_b_motion_cabac(self, pic, mr, mc, mbv, sid):
+        """B-MB motion from parsed CABAC values (16x16 / two-partition /
+        B_8x8 sub tree incl. B_Direct_8x8)."""
+        g4r, g4c = mr * 4, mc * 4
+        btype = mbv["btype"]
+        if btype <= 3:                   # one 16x16 partition
+            refs = mbv.get("refs", [0, 0])
+            preds = []
+            used = []
+            for lx, use in ((0, mbv["use0"]), (1, mbv["use1"])):
+                if not use:
+                    pic.set_motion(lx, g4r, g4c, 4, 4, 0, mvpred.INTRA)
+                    continue
+                mvd_y, mvd_x = mbv[f"mvd{lx}"]
+                pred = self._mv_pred_part(pic, lx, refs[lx], g4r, g4c,
+                                          4, 4, sid)
+                mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                reflist = self._list0 if lx == 0 else self._list1
+                pic.set_motion(lx, g4r, g4c, 4, 4, mv, refs[lx],
+                               pid=reflist[refs[lx]].uid)
+                preds.append(self._mc_recon(pic, mr, mc, mv,
+                                            reflist[refs[lx]]))
+                used.append(lx)
+            if len(preds) == 2:
+                return self._weight_bi(preds[0], refs[0],
+                                       preds[1], refs[1])
+            lx = used[0]
+            return self._weight_uni(preds[0], lx, refs[lx])
+
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+
+        def put(dr4, dc4, h4b, w4b, planes):
+            py, pu, pv = planes
+            pred_y[dr4 * 4:(dr4 + h4b) * 4, dc4 * 4:(dc4 + w4b) * 4] = py
+            pred_u[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pu
+            pred_v[dr4 * 2:(dr4 + h4b) * 2, dc4 * 2:(dc4 + w4b) * 2] = pv
+
+        if btype <= 21:                  # two-partition 16x8 / 8x16
+            part_uses = mbv["part_pred"]
+            geom = (self._P_PARTS[1] if btype % 2 == 0
+                    else self._P_PARTS[2])
+            refs, mvds = mbv["refs"], mbv["mvds"]
+            for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+                for lx in (0, 1):
+                    if not part_uses[p][lx]:
+                        pic.set_motion(lx, g4r + dr4, g4c + dc4, h4b,
+                                       w4b, 0, mvpred.INTRA)
+            mvs = [[None, None], [None, None]]
+            for lx in (0, 1):
+                for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+                    if not part_uses[p][lx]:
+                        continue
+                    mvd_y, mvd_x = mvds[lx][p]
+                    pred = self._mv_pred_part(pic, lx, refs[lx][p],
+                                              g4r + dr4, g4c + dc4,
+                                              h4b, w4b, sid)
+                    mvs[lx][p] = pred + np.array([mvd_y, mvd_x],
+                                                 dtype=np.int64)
+                    lst = self._list0 if lx == 0 else self._list1
+                    pic.set_motion(lx, g4r + dr4, g4c + dc4, h4b, w4b,
+                                   mvs[lx][p], refs[lx][p],
+                                   pid=lst[refs[lx][p]].uid)
+            for p, (dr4, dc4, h4b, w4b) in enumerate(geom):
+                put(dr4, dc4, h4b, w4b, self._b_mc_part(
+                    pic, mr * 16 + dr4 * 4, mc * 16 + dc4 * 4,
+                    h4b * 4, w4b * 4,
+                    [mvs[0][p], mvs[1][p]], [refs[0][p], refs[1][p]],
+                    part_uses[p]))
+            return pred_y, pred_u, pred_v
+
+        # B_8x8: direct subs stored first (derivation order, 8.4.1)
+        subs = mbv["subs"]
+        refs, mvds = mbv["refs"], mbv["mvds"]
+        direct = None
+        if any(s == 0 for s in subs):
+            direct = self._direct_motion(pic, mr, mc, sid)
+            for b8 in range(4):
+                if subs[b8] != 0:
+                    continue
+                r0d, r1d, dmv0, dmv1 = direct[b8]
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                for lx, ri, mv in ((0, r0d, dmv0), (1, r1d, dmv1)):
+                    lst = self._list0 if lx == 0 else self._list1
+                    if ri >= 0:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       mv, ri, pid=lst[ri].uid)
+                    else:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       0, mvpred.INTRA)
+        for b8 in range(4):
+            if subs[b8] == 0:
+                continue
+            for lx in (0, 1):
+                if not self._B_SUB[subs[b8]][0][lx]:
+                    br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                    pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                   0, mvpred.INTRA)
+        mvs = [[[] for _ in range(4)], [[] for _ in range(4)]]
+        for lx in (0, 1):
+            for b8 in range(4):
+                if subs[b8] == 0:
+                    continue
+                uses, gkey = self._B_SUB[subs[b8]]
+                if not uses[lx]:
+                    continue
+                br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+                lst = self._list0 if lx == 0 else self._list1
+                for (dr4, dc4, h4b, w4b), (mvd_y, mvd_x) in zip(
+                        self._SUB_PARTS[gkey], mvds[lx][b8]):
+                    pred = self._mv_pred_part(
+                        pic, lx, refs[lx][b8], g4r + br4 + dr4,
+                        g4c + bc4 + dc4, h4b, w4b, sid)
+                    mv = pred + np.array([mvd_y, mvd_x], dtype=np.int64)
+                    mvs[lx][b8].append(mv)
+                    pic.set_motion(lx, g4r + br4 + dr4, g4c + bc4 + dc4,
+                                   h4b, w4b, mv, refs[lx][b8],
+                                   pid=lst[refs[lx][b8]].uid)
+        for b8 in range(4):
+            br4, bc4 = (b8 // 2) * 2, (b8 % 2) * 2
+            if subs[b8] == 0:            # B_Direct_8x8
+                r0, r1, dmv0, dmv1 = direct[b8]
+                parts = []
+                for lx, ri, mv in ((0, r0, dmv0), (1, r1, dmv1)):
+                    lst = self._list0 if lx == 0 else self._list1
+                    if ri >= 0:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       mv, ri, pid=lst[ri].uid)
+                        parts.append((lx, ri, self._mc_part(
+                            pic, mr * 16 + br4 * 4, mc * 16 + bc4 * 4,
+                            8, 8, mv, lst[ri])))
+                    else:
+                        pic.set_motion(lx, g4r + br4, g4c + bc4, 2, 2,
+                                       0, mvpred.INTRA)
+                if len(parts) == 2:
+                    planes = self._weight_bi(parts[0][2], parts[0][1],
+                                             parts[1][2], parts[1][1])
+                else:
+                    lx, ri, pl = parts[0]
+                    planes = self._weight_uni(pl, lx, ri)
+                put(br4, bc4, 2, 2, planes)
+                continue
+            uses, gkey = self._B_SUB[subs[b8]]
+            for pi, (dr4, dc4, h4b, w4b) in enumerate(
+                    self._SUB_PARTS[gkey]):
+                put(br4 + dr4, bc4 + dc4, h4b, w4b, self._b_mc_part(
+                    pic, mr * 16 + (br4 + dr4) * 4,
+                    mc * 16 + (bc4 + dc4) * 4, h4b * 4, w4b * 4,
+                    [mvs[0][b8][pi] if uses[0] else None,
+                     mvs[1][b8][pi] if uses[1] else None],
+                    [refs[0][b8], refs[1][b8]], uses))
+        return pred_y, pred_u, pred_v
+
     # ------------------------------------------------------ macroblock
 
     def _avail_mb(self, pic, mr, mc, dr, dc, sid):
@@ -733,6 +940,15 @@ class Decoder:
         if r < 0 or c < 0 or r >= pic.hm or c >= pic.wm:
             return False
         return pic.slice_id[r, c] == sid
+
+    def _check_bypass(self, qp: int):
+        """Lossless transform-bypass MBs (High 4:4:4 Predictive with
+        QP'Y == 0, spec 8.5.15 — what x264 emits at qp 0) are not
+        reconstructed; fail loudly instead of producing wrong pixels."""
+        if qp == 0 and getattr(self.sps,
+                               "qpprime_y_zero_transform_bypass_flag", 0):
+            raise NotImplementedError(
+                "transform bypass (lossless, QP'Y=0) not supported")
 
     def _decode_mb_i(self, r: BitReader, pic: PictureState, addr: int,
                      qp: int, sid: int, mb_type: int | None = None):
@@ -746,6 +962,8 @@ class Decoder:
 
         if mb_type is None:
             mb_type = read_ue(r)
+        if mb_type != 25:
+            self._check_bypass(qp)
         if mb_type == 25:              # I_PCM (spec 7.3.5, 8.3.5)
             r.align_byte()
             y0, x0 = mr * 16, mc * 16
@@ -775,8 +993,11 @@ class Decoder:
                 cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                 if cbp > 0:
                     qp = qp + read_se(r)      # mb_qp_delta
-                self._recon_i8(r, pic, mr, mc, qp, modes, cbp_luma,
-                               at, al, atl, atr, sid)
+                self._recon_i8(
+                    lambda b8, coded: self._read_luma8x8_cavlc(
+                        r, pic, mr, mc, b8, sid, coded),
+                    pic, mr, mc, qp, modes, cbp_luma,
+                    at, al, atl, atr, sid)
                 self._recon_chroma(r, pic, mr, mc, qp, cmode, cbp_chroma,
                                    at, al, atl)
                 pic.qp_mb[mr, mc] = qp
@@ -862,9 +1083,11 @@ class Decoder:
         coeff[rt8.ZIGZAG_8x8] = scan64
         return coeff.reshape(8, 8)
 
-    def _recon_i8(self, r, pic, mr, mc, qp, modes, cbp_luma,
+    def _recon_i8(self, residual_cb, pic, mr, mc, qp, modes, cbp_luma,
                   at, al, atl, atr, sid):
-        """Intra_8x8 luma reconstruction (spec 8.3.2 + 8.5.13)."""
+        """Intra_8x8 luma reconstruction (spec 8.3.2 + 8.5.13);
+        residual_cb(b8, coded) yields the 8x8 dequant-input coeff
+        array (entropy-mode specific)."""
         from tpu264.ref import transform8 as rt8
         for b8 in range(4):
             by, bx = b8 // 2, b8 % 2
@@ -890,7 +1113,7 @@ class Decoder:
             pred = ri.predict_8x8(int(modes[b8]), top16, left8, tl,
                                   b_at, b_al, b_atl)
             coded = (cbp_luma >> b8) & 1
-            d = self._read_luma8x8_cavlc(r, pic, mr, mc, b8, sid, coded)
+            d = residual_cb(b8, coded)
             res = rt8.idct8x8(rt8.dequant8x8(d, qp))
             pic.y[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + res)
 
@@ -1369,6 +1592,7 @@ class Decoder:
         """Shared inter-MB tail: cbp, transform_size_8x8_flag,
         mb_qp_delta, luma residual (4x4 or 8x8), chroma residual, plane
         store.  Returns the (possibly updated) qp."""
+        self._check_bypass(qp)
         cbp = int(mb_syntax.CODENUM_TO_CBP_INTER[read_ue(r)])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         t8 = 0

@@ -30,8 +30,22 @@ K_DIRECT = 4    # B_Direct_16x16 (coded, but direct for mb_type ctx)
 
 # ctxBlockCat offsets
 SIG_CAT_OFF = (0, 15, 29, 44, 47)     # significant / last maps
-LVL_CAT_OFF = (0, 10, 20, 30, 39)     # coeff_abs_level_minus1
+LVL_CAT_OFF = (0, 10, 20, 30, 39, 199)  # coeff_abs_level_minus1 (cat5->426)
 CBF_CAT_OFF = (0, 4, 8, 12, 16)
+
+# cat-5 (luma 8x8, frame coding) context maps, spec Table 9-43:
+# significant_coeff_flag ctx = 402 + SIG8_MAP[i]; last ctx = 417 +
+# LAST8_MAP[i] for scan position i of 63
+SIG8_MAP = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+LAST8_MAP = (
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8)
 
 
 class CabacFrameState:
@@ -52,8 +66,16 @@ class CabacFrameState:
         self.cbf_l4 = np.zeros((hm * 4, wm * 4), dtype=np.int64)
         self.cbf_cdc = np.zeros((2, hm, wm), dtype=np.int64)
         self.cbf_cac = np.zeros((2, hm * 2, wm * 2), dtype=np.int64)
-        self.absmvd = np.zeros((hm, wm, 2), dtype=np.int64)   # [dy, dx]
-        self.absmvd1 = np.zeros((hm, wm, 2), dtype=np.int64)  # list 1
+        # per-4x4 |mvd| per list (spec 9.3.3.1.1.7 consults the partition
+        # COVERING the neighboring 4x4 block — MB granularity is only
+        # correct for 16x16-only streams)
+        self.absmvd = np.zeros((hm * 4, wm * 4, 2), dtype=np.int64)
+        self.absmvd1 = np.zeros((hm * 4, wm * 4, 2), dtype=np.int64)
+        # per-4x4 ref_idx per list for 9.3.3.1.1.6 (-1 = intra / unused
+        # list / direct or skip cell -> no context increment)
+        self.refidx = np.full((2, hm * 4, wm * 4), -1, dtype=np.int64)
+        # transform_size_8x8_flag per MB (9.3.3.1.1.10)
+        self.t8 = np.zeros((hm, wm), dtype=bool)
         self.prev_qp_delta_nz = 0    # reset at each slice start
 
     # -- availability ---------------------------------------------------
@@ -73,8 +95,27 @@ class CabacFrameState:
         self.cbf_l4[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
         self.cbf_cdc[:, mr, mc] = 0
         self.cbf_cac[:, mr * 2:mr * 2 + 2, mc * 2:mc * 2 + 2] = 0
-        self.absmvd[mr, mc] = 0
-        self.absmvd1[mr, mc] = 0
+        self.absmvd[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        self.absmvd1[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        self.refidx[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = -1
+        self.t8[mr, mc] = False
+        # mb_qp_delta is inferred 0 for skip (9.3.3.1.1.5)
+        self.prev_qp_delta_nz = 0
+
+    def set_absmvd(self, lx, g4r, g4c, h4b, w4b, ady, adx):
+        amvd = self.absmvd if lx == 0 else self.absmvd1
+        amvd[g4r:g4r + h4b, g4c:g4c + w4b, 0] = ady
+        amvd[g4r:g4r + h4b, g4c:g4c + w4b, 1] = adx
+
+    def set_refidx(self, lx, g4r, g4c, h4b, w4b, ref):
+        self.refidx[lx, g4r:g4r + h4b, g4c:g4c + w4b] = ref
+
+    def clear_inter_mb(self, mr, mc):
+        """Reset the per-4x4 motion context cells at MB start (cells are
+        only re-written for spans a partition actually covers)."""
+        self.absmvd[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        self.absmvd1[mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = 0
+        self.refidx[:, mr * 4:mr * 4 + 4, mc * 4:mc * 4 + 4] = -1
 
     # -- context increments ----------------------------------------------
     def ctx_mb_skip(self, mr, mc, sid, b_slice: bool = False) -> int:
@@ -149,15 +190,41 @@ class CabacFrameState:
     def ctx_qp_delta(self) -> int:
         return 60 + (1 if self.prev_qp_delta_nz else 0)
 
-    def ctx_mvd(self, mr, mc, sid, comp: int, lx: int = 0) -> int:
-        """bin0 of mvd (comp: 0 = y/vertical, 1 = x/horizontal)."""
+    def avail4(self, g4r: int, g4c: int, sid: int) -> bool:
+        """4x4-cell availability: in-frame and its MB in this slice."""
+        if g4r < 0 or g4c < 0 or g4r >= self.hm * 4 or g4c >= self.wm * 4:
+            return False
+        return self.slice_id[g4r // 4, g4c // 4] == sid
+
+    def ctx_mvd(self, g4r, g4c, sid, comp: int, lx: int = 0) -> int:
+        """bin0 of mvd for the partition whose top-left 4x4 cell is
+        (g4r, g4c) (comp: 0 = y/vertical, 1 = x/horizontal); neighbors
+        are the 4x4 cells left/above (spec 9.3.3.1.1.7)."""
         amvd = self.absmvd if lx == 0 else self.absmvd1
         s = 0
-        for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
-            if self.avail(nr, nc, sid):
+        for nr, nc in ((g4r, g4c - 1), (g4r - 1, g4c)):
+            if self.avail4(nr, nc, sid):
                 s += int(amvd[nr, nc, comp])
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
         return (47 if comp == 0 else 40) + inc
+
+    def ctx_ref_idx(self, g4r, g4c, sid, lx: int) -> int:
+        """ctxIdxInc for ref_idx_lX bin0 (spec 9.3.3.1.1.6): neighbor
+        4x4 cell's refIdxLX > 0 counts (direct/skip/intra/unused cells
+        are stored as -1 and never count)."""
+        def cond(nr, nc):
+            if not self.avail4(nr, nc, sid):
+                return 0
+            return int(self.refidx[lx, nr, nc] > 0)
+        return cond(g4r, g4c - 1) + 2 * cond(g4r - 1, g4c)
+
+    def ctx_t8(self, mr, mc, sid) -> int:
+        """transform_size_8x8_flag ctx (spec 9.3.3.1.1.10)."""
+        inc = 0
+        for nr, nc in ((mr, mc - 1), (mr - 1, mc)):
+            if self.avail(nr, nc, sid) and self.t8[nr, nc]:
+                inc += 1
+        return 399 + inc
 
     # -- coded_block_flag contexts ---------------------------------------
     def _cbf_cond(self, val, nb_avail: bool, cur_intra: bool) -> int:
@@ -295,26 +362,25 @@ def encode_mb_type_p(eng, mb_type: int):
         encode_mb_type_intra(eng, 17, P_SUFFIX_REST, mb_type - 5)
         return
     eng.encode(14, 0)
-    if mb_type == 0:
+    if mb_type in (0, 3, 4):             # '000' = 16x16, '001' = P_8x8
         eng.encode(15, 0)
-        eng.encode(16, 0)
-    elif mb_type == 2:                   # P_L0_L0_8x16
-        eng.encode(15, 0)
-        eng.encode(16, 1)
-    elif mb_type == 1:                   # P_L0_L0_16x8
-        eng.encode(15, 1)
-        eng.encode(17, 1)
-    else:                                # 3 / 4: P_8x8(ref0)
+        eng.encode(16, 0 if mb_type == 0 else 1)
+    elif mb_type == 2:                   # P_L0_L0_8x16: '010'
         eng.encode(15, 1)
         eng.encode(17, 0)
+    else:                                # P_L0_L0_16x8: '011'
+        eng.encode(15, 1)
+        eng.encode(17, 1)
 
 
 def decode_mb_type_p(eng) -> int:
+    """Table 9-37: '000'=P_L0_16x16, '001'=P_8x8, '010'=8x16,
+    '011'=16x8; prefix '1' = intra suffix."""
     if eng.decode(14):
         return 5 + decode_mb_type_intra(eng, 17, P_SUFFIX_REST)
     if eng.decode(15) == 0:
-        return 2 if eng.decode(16) else 0
-    return 1 if eng.decode(17) else 3
+        return 3 if eng.decode(16) else 0
+    return 1 if eng.decode(17) else 2
 
 
 def encode_sub_mb_type_p(eng, v: int):
@@ -336,6 +402,61 @@ def decode_sub_mb_type_p(eng) -> int:
     if eng.decode(22) == 0:
         return 1
     return 2 if eng.decode(23) else 3
+
+
+def encode_sub_mb_type_b(eng, v: int):
+    """B sub_mb_type (Table 9-38 B binarization, ctx 36..39):
+    0=B_Direct_8x8, 1/2=L0/L1 8x8, 3..6, 7..10, 11/12."""
+    if v == 0:
+        eng.encode(36, 0)
+        return
+    eng.encode(36, 1)
+    if v in (1, 2):
+        eng.encode(37, 0)
+        eng.encode(39, v - 1)
+        return
+    eng.encode(37, 1)
+    if v >= 11:
+        eng.encode(38, 1)
+        eng.encode(39, 1)
+        eng.encode(39, v - 11)
+        return
+    if v >= 7:
+        eng.encode(38, 1)
+        eng.encode(39, 0)
+        t = v - 7
+    else:
+        eng.encode(38, 0)
+        t = v - 3
+    eng.encode(39, t >> 1)
+    eng.encode(39, t & 1)
+
+
+def decode_sub_mb_type_b(eng) -> int:
+    """Inverse of encode_sub_mb_type_b (Table 9-38)."""
+    if eng.decode(36) == 0:
+        return 0                           # B_Direct_8x8
+    if eng.decode(37) == 0:
+        return 1 + eng.decode(39)          # B_L0_8x8 / B_L1_8x8
+    t = 3
+    if eng.decode(38):
+        if eng.decode(39):
+            return 11 + eng.decode(39)     # B_L0_4x4 / B_Bi_4x4
+        t += 4
+    t += 2 * eng.decode(39)
+    t += eng.decode(39)
+    return t
+
+
+def encode_t8_flag(eng, st: CabacFrameState, mr, mc, sid, flag: int):
+    eng.encode(st.ctx_t8(mr, mc, sid), flag)
+    st.t8[mr, mc] = bool(flag)
+
+
+def decode_t8_flag(eng, st: CabacFrameState, mr, mc, sid) -> int:
+    flag = eng.decode(st.ctx_t8(mr, mc, sid))
+    st.t8[mr, mc] = bool(flag)
+    return flag
 
 
 def encode_i4_mode(eng, mode: int, mpm: int):
@@ -439,11 +560,12 @@ def _encode_eg_suffix(eng, v: int, k: int):
         eng.encode_bypass((v >> i) & 1)
 
 
-def encode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int, mvd: int,
-               lx: int = 0):
-    """UEG3 with signedValFlag=1, uCoff=9 (spec 9.3.2.3)."""
+def encode_mvd(eng, st: CabacFrameState, g4r, g4c, sid, comp: int,
+               mvd: int, lx: int = 0):
+    """UEG3 with signedValFlag=1, uCoff=9 (spec 9.3.2.3); (g4r, g4c) is
+    the partition's top-left 4x4 cell."""
     a = abs(mvd)
-    ctx0 = st.ctx_mvd(mr, mc, sid, comp, lx)
+    ctx0 = st.ctx_mvd(g4r, g4c, sid, comp, lx)
     base = 47 if comp == 0 else 40
     if a == 0:
         eng.encode(ctx0, 0)
@@ -459,9 +581,9 @@ def encode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int, mvd: int,
     eng.encode_bypass(1 if mvd < 0 else 0)
 
 
-def decode_mvd(eng, st: CabacFrameState, mr, mc, sid, comp: int,
+def decode_mvd(eng, st: CabacFrameState, g4r, g4c, sid, comp: int,
                lx: int = 0) -> int:
-    ctx0 = st.ctx_mvd(mr, mc, sid, comp, lx)
+    ctx0 = st.ctx_mvd(g4r, g4c, sid, comp, lx)
     base = 47 if comp == 0 else 40
     if eng.decode(ctx0) == 0:
         return 0
@@ -509,28 +631,39 @@ def decode_ref_idx(eng, st_inc: int) -> int:
 
 # -------------------------------------------------------------- residual
 
+def _sig_ctx(cat: int, i: int) -> int:
+    if cat == 5:
+        return 402 + SIG8_MAP[i]
+    return 105 + SIG_CAT_OFF[cat] + (min(i, 2) if cat == 3 else i)
+
+
+def _last_ctx(cat: int, i: int) -> int:
+    if cat == 5:
+        return 417 + LAST8_MAP[i]
+    return 166 + SIG_CAT_OFF[cat] + (min(i, 2) if cat == 3 else i)
+
+
 def encode_residual(eng, coeffs, cat: int, cbf_ctx: int) -> int:
     """Code one residual block (spec 7.3.5.3.3 residual_block_cabac).
 
     coeffs: scanned levels (zig-zag already applied), length = numCoeff.
-    Returns the coded_block_flag value.
+    cat 5 (luma 8x8, 64 coeffs) has no coded_block_flag — pass
+    cbf_ctx=None.  Returns the coded_block_flag value.
     """
     coeffs = np.asarray(coeffs)
     n = len(coeffs)
     nz = np.nonzero(coeffs)[0]
     cbf = int(nz.size > 0)
-    eng.encode(cbf_ctx, cbf)
-    if not cbf:
-        return 0
+    if cat != 5:
+        eng.encode(cbf_ctx, cbf)
+        if not cbf:
+            return 0
     last = int(nz[-1])
-    sig_base = 105 + SIG_CAT_OFF[cat]
-    last_base = 166 + SIG_CAT_OFF[cat]
     for i in range(min(last + 1, n - 1)):
-        inc = min(i, 2) if cat == 3 else i
         sig = int(coeffs[i] != 0)
-        eng.encode(sig_base + inc, sig)
+        eng.encode(_sig_ctx(cat, i), sig)
         if sig:
-            eng.encode(last_base + inc, int(i == last))
+            eng.encode(_last_ctx(cat, i), int(i == last))
     lvl_base = 227 + LVL_CAT_OFF[cat]
     num_eq1 = 0
     num_gt1 = 0
@@ -558,18 +691,16 @@ def encode_residual(eng, coeffs, cat: int, cbf_ctx: int) -> int:
 
 
 def decode_residual(eng, n: int, cat: int, cbf_ctx: int):
-    """Returns (scanned coeffs[n], cbf)."""
+    """Returns (scanned coeffs[n], cbf).  cat 5 has no coded_block_flag
+    (pass cbf_ctx=None) — presence is implied by the cbp bit."""
     coeffs = np.zeros(n, dtype=np.int64)
-    if eng.decode(cbf_ctx) == 0:
+    if cat != 5 and eng.decode(cbf_ctx) == 0:
         return coeffs, 0
-    sig_base = 105 + SIG_CAT_OFF[cat]
-    last_base = 166 + SIG_CAT_OFF[cat]
     sig_pos = []
     for i in range(n - 1):
-        inc = min(i, 2) if cat == 3 else i
-        if eng.decode(sig_base + inc):
+        if eng.decode(_sig_ctx(cat, i)):
             sig_pos.append(i)
-            if eng.decode(last_base + inc):
+            if eng.decode(_last_ctx(cat, i)):
                 break
     else:
         sig_pos.append(n - 1)

@@ -176,3 +176,20 @@ class CabacDecoder:
             self.range <<= 1
             self.offset = (self.offset << 1) | self._read_bit()
         return 0
+
+    def reinit(self, bitpos: int):
+        """Re-initialize the arithmetic engine mid-slice at a byte-
+        aligned position (after I_PCM samples, spec 9.3.1.2); context
+        states persist — only the register state resets.
+
+        Position invariant used by the I_PCM reader: when
+        decode_terminate() returns 1, `self.pos` equals the exact bit
+        length of the encoder's arithmetic output including its flush
+        (init reads 9 bits = the encoder's 9-bit flush tail plus the
+        skipped first bit; every renormalization shift afterwards maps
+        1:1 to one encoder output bit)."""
+        self.pos = bitpos
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._read_bit()

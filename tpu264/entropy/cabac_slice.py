@@ -160,10 +160,11 @@ def _encode_mb(eng, st, mr, mc, sid, i, p_slice, inter, i16, i16m,
         st.cpm[mr, mc] = cmode
     if kind == cs.K_INTER:
         # 16x16 partition, single ref: mvd x then y (compIdx order)
-        cs.encode_mvd(eng, st, mr, mc, sid, 1, int(mvd_i[1]))
-        cs.encode_mvd(eng, st, mr, mc, sid, 0, int(mvd_i[0]))
-        st.absmvd[mr, mc, 0] = abs(int(mvd_i[0]))
-        st.absmvd[mr, mc, 1] = abs(int(mvd_i[1]))
+        cs.encode_mvd(eng, st, mr * 4, mc * 4, sid, 1, int(mvd_i[1]))
+        cs.encode_mvd(eng, st, mr * 4, mc * 4, sid, 0, int(mvd_i[0]))
+        st.set_absmvd(0, mr * 4, mc * 4, 4, 4,
+                      abs(int(mvd_i[0])), abs(int(mvd_i[1])))
+        st.set_refidx(0, mr * 4, mc * 4, 4, 4, 0)
 
     if kind != cs.K_I16:
         cs.encode_cbp(eng, st, mr, mc, sid, cbp_l | (cbp_c << 4))

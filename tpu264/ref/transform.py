@@ -62,6 +62,16 @@ ZIGZAG_4x4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15],
                       dtype=np.int64)
 
 
+
+def wrap16(x):
+    """Wrap to int16 — libavcodec (and x264's own reconstruction) store
+    dequantized coefficients in int16_t; streams that push levels past
+    the conforming range (x264 at QP~0) are decoded with two's-complement
+    wrapping by every production decoder, so bit-exactness against them
+    requires reproducing it.  Identity for all in-range values."""
+    return ((np.asarray(x, dtype=np.int64) + 32768) & 65535) - 32768
+
+
 def chroma_qp(qp_y: int, offset: int = 0) -> int:
     qpi = int(np.clip(qp_y + offset, 0, 51))
     return int(CHROMA_QP_TABLE[qpi])
@@ -114,8 +124,9 @@ def quant4x4(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
 
 def dequant4x4(c: np.ndarray, qp: int) -> np.ndarray:
     """Normative AC dequant d = c * V(qp%6) << (qp/6) (spec 8.5.12.1,
-    exact for flat scaling lists)."""
-    return np.asarray(c, dtype=np.int64) * V_TABLE[qp % 6] << (qp // 6)
+    exact for flat scaling lists); int16-wrapped like libavcodec."""
+    return wrap16(np.asarray(c, dtype=np.int64) * V_TABLE[qp % 6]
+                  << (qp // 6))
 
 
 def idct4x4(d: np.ndarray) -> np.ndarray:
@@ -169,8 +180,8 @@ def hadamard4x4_inv_dequant_dc(c: np.ndarray, qp: int) -> np.ndarray:
     q6 = qp // 6
     ls = 16 * int(_V_CLASS[qp % 6, 0])  # LevelScale4x4(qp%6, 0, 0)
     if qp >= 36:
-        return (f * ls) << (q6 - 6)
-    return (f * ls + (1 << (5 - q6))) >> (6 - q6)
+        return wrap16((f * ls) << (q6 - 6))
+    return wrap16((f * ls + (1 << (5 - q6))) >> (6 - q6))
 
 
 def hadamard2x2_fwd_quant_dc(wdc: np.ndarray, qp: int, intra: bool):
@@ -188,7 +199,7 @@ def hadamard2x2_inv_dequant_dc(c: np.ndarray, qp: int) -> np.ndarray:
     """Normative chroma-DC inverse (spec 8.5.11, 4:2:0)."""
     f = H2 @ np.asarray(c, dtype=np.int64) @ H2
     ls = 16 * int(_V_CLASS[qp % 6, 0])
-    return ((f * ls) << (qp // 6)) >> 5
+    return wrap16(((f * ls) << (qp // 6)) >> 5)
 
 
 def residual_block_recon(coeff: np.ndarray, qp: int, dc: int | None = None):

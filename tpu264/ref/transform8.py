@@ -148,12 +148,13 @@ def dequant8x8(c, qp: int):
     d = (c * LS8) << (qp/6 - 2) for qp >= 12, rounded >> (2 - qp/6)
     below — the pairing that makes quant->dequant->idct8 unity gain at
     every frequency (verified numerically in tests/test_transform8.py)."""
+    from tpu264.ref.transform import wrap16
     c = np.asarray(c, dtype=np.int64)
     v = V8_TABLE[qp % 6]
     k = qp // 6
     if k >= 2:
-        return (c * v) << (k - 2)
-    return (c * v + (1 << (1 - k))) >> (2 - k)
+        return wrap16((c * v) << (k - 2))
+    return wrap16((c * v + (1 << (1 - k))) >> (2 - k))
 
 
 def idct8x8(d):
