@@ -233,3 +233,15 @@ def test_x264_cabac_ipcm():
     from tpu264.decode.decoder import decode_annexb
     with pytest.raises(NotImplementedError):
         decode_annexb(s)          # transform-bypass P frames
+
+
+@pytest.mark.parametrize("ec", [0, 1])
+@pytest.mark.parametrize("db", ["1,1", "-2,2", "-6,-6"])
+def test_x264_deblock_offsets(db, ec):
+    """Nonzero slice_alpha_c0_offset_div2 / slice_beta_offset_div2
+    (spec 8.7.2: indexA/indexB = qPav + FilterOffsetA/B) — previously an
+    assertion failure on legal streams (VERDICT r4 weak #6)."""
+    s = x264_encode(_frames(5), qp=28,
+                    params=_base(ec) + f":ref=2:partitions=p8x8:keyint=30"
+                    f":deblock={db}")
+    _check(s)

@@ -91,6 +91,7 @@ class PictureState:
         self.luma_tc_db = np.zeros((self.hm * 4, self.wm * 4),
                                    dtype=np.int64)
         self.deblock_idc = None    # uniform across the picture's slices
+        self.db_off = None         # (FilterOffsetA, FilterOffsetB)
         self.qp = None
         # per-4x4-block motion state (qpel; ref: -2 unavail/undecoded,
         # -1 intra or not-using-this-list, >=0 inter ref idx); axis 0 is
@@ -465,10 +466,15 @@ class Decoder:
                      f"mmco={list(hdr.mmco)}")
         idc = (hdr.disable_deblocking_filter_idc
                if self.pps.deblocking_filter_control_present_flag else 0)
-        assert pic.deblock_idc in (None, idc), \
-            "per-slice deblock idc mix not supported"
-        assert hdr.slice_alpha_c0_offset_div2 == 0 \
-            and hdr.slice_beta_offset_div2 == 0, "filter offsets"
+        if pic.deblock_idc not in (None, idc):
+            raise NotImplementedError(
+                "mixed per-slice deblock idc within one picture")
+        db_off = (2 * hdr.slice_alpha_c0_offset_div2,
+                  2 * hdr.slice_beta_offset_div2)
+        if getattr(pic, "db_off", None) not in (None, db_off):
+            raise NotImplementedError(
+                "mixed per-slice deblock alpha/beta offsets")
+        pic.db_off = db_off
         pic.deblock_idc = idc
         pic.qp = qp
         addr = hdr.first_mb_in_slice
@@ -1316,10 +1322,11 @@ class Decoder:
         # coeff condition per 8x8 block for transform-8x8 MBs
         t8r = np.repeat(np.repeat(pic.t8, 4, 0), 4, 1)
         tc_eff = np.where(t8r, pic.luma_tc_db, pic.luma_tc)
+        off_a, off_b = pic.db_off or (0, 0)
         y, u, v = rdb.deblock_frame(
             pic.y, pic.u, pic.v, qp_g, cqp_tab[np.clip(qp_g, 0, 51)],
             intra_mb, tc_eff, mv2, pid2,
-            left_ok, top_ok, t8=pic.t8)
+            left_ok, top_ok, t8=pic.t8, off_a=off_a, off_b=off_b)
         pic.y, pic.u, pic.v = y, u, v
 
     # ------------------------------------------------------ P slices

@@ -223,7 +223,8 @@ def compute_bs_maps(intra_mb, tc_luma, mv, ref, wm, hm):
 
 
 def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
-                  filter_edges_left, filter_edges_top, t8=None):
+                  filter_edges_left, filter_edges_top, t8=None,
+                  off_a=0, off_b=0):
     """In-place deblocking of one picture (returns the filtered planes).
 
     filter_edges_left/top: [hm, wm] bool — whether the MB's left/top MB
@@ -231,6 +232,9 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
     disable_deblocking_filter_idc == 2).  t8: [hm, wm] bool — MBs coded
     with transform_size_8x8_flag have no internal 4x4 transform edges,
     so their luma edges at columns/rows 4 and 12 are not filtered.
+    off_a / off_b: FilterOffsetA/B = 2 * slice_alpha_c0/beta_offset_div2
+    (spec 8.7.2: indexA = Clip3(0,51, qPav + offsetA) for alpha/tc0,
+    indexB for beta).
     """
     y = np.asarray(y, dtype=np.int64).copy()
     u = np.asarray(u, dtype=np.int64).copy()
@@ -253,8 +257,9 @@ def deblock_frame(y, u, v, qp_y, cqp, intra_mb, tc_luma, mv, ref,
             q = grid[r, c]
         else:
             q = (int(grid[r, c]) + int(grid[nr, nc]) + 1) >> 1
-        i = int(np.clip(q, 0, 51))
-        return int(ALPHA_TABLE[i]), int(BETA_TABLE[i]), TC0_TABLE[i]
+        ia = int(np.clip(q + off_a, 0, 51))
+        ib = int(np.clip(q + off_b, 0, 51))
+        return int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib]), TC0_TABLE[ia]
 
     for r in range(hm):
         for c in range(wm):
