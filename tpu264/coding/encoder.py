@@ -89,9 +89,11 @@ def build_bgop_plan(nfr: int, num_b: int, intra_period: int):
     return plan
 
 
-def build_params(cfg: EncoderConfig, gop_mode: str):
+def build_params(cfg: EncoderConfig, gop_mode: str, t8: bool = False):
     """SPS/PPS for a config + GOP mode (shared by Encoder and
-    TiledEncoder so tiled streams carry bit-identical parameter sets)."""
+    TiledEncoder so tiled streams carry bit-identical parameter sets).
+    `t8`: High-profile 8x8 transform is emitted — signal High profile
+    and set the PPS transform_8x8_mode_flag."""
     poc_type = 0 if gop_mode == "bgop" else 2
     sps = SPS(
         profile_idc=(77 if gop_mode == "bgop" and cfg.profile_idc == 66
@@ -114,10 +116,14 @@ def build_params(cfg: EncoderConfig, gop_mode: str):
         # upgrade the signalled profile instead
         sps.profile_idc = 77
         sps.constraint_flags = 0
+    if t8:
+        sps.profile_idc = 100            # High (transform_8x8 needs it)
+        sps.constraint_flags = 0
     pps = PPS(
         entropy_coding_mode_flag=1 if cabac else 0,
         pic_init_qp=26,
         deblocking_filter_control_present_flag=1,
+        transform_8x8_mode_flag=1 if t8 else 0,
     )
     return sps, pps, cabac
 
@@ -175,10 +181,28 @@ class Encoder:
             warnings.warn(
                 "inter_partitions requested but only supported for CAVLC "
                 "IPPP GOPs; encoding without partitions", stacklevel=2)
+        # High-profile 8x8 transform: auto-on for CAVLC IPPP (the CABAC
+        # binarizer and B serializer have no transform-8x8 syntax yet)
+        self.t8_mode = (cfg.transform_8x8
+                        if cfg.transform_8x8 is not None
+                        else (gop_mode == "ippp" and not self.cabac))
+        t8_forced_off = (self.t8_mode
+                         and not (gop_mode == "ippp" and not self.cabac))
+        self.t8_mode = (self.t8_mode and gop_mode == "ippp"
+                        and not self.cabac)
+        if t8_forced_off and cfg.transform_8x8:
+            import warnings
+            warnings.warn(
+                "transform_8x8 requested but only supported for CAVLC "
+                "IPPP GOPs; encoding with the 4x4 transform",
+                stacklevel=2)
+        if self.t8_mode:
+            self.sps, self.pps, self.cabac = build_params(
+                cfg, gop_mode, t8=True)
         if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
                 self.sched, search_range=cfg.search_range,
-                partitions=self.partitions)
+                partitions=self.partitions, t8=self.t8_mode)
         if gop_mode == "bgop":
             from .b_frame import make_b_encoder
             self._encode_b = make_b_encoder(
@@ -247,9 +271,12 @@ class Encoder:
             from tpu264.entropy import device_cavlc as dcav
             self._dcav = dcav
 
+            t8m = self.t8_mode
+
             @jax.jit
             def _ser_i(mbd):
-                v, l = dcav.serialize_frame_j(mbd, wm, hm, rows)
+                v, l = dcav.serialize_frame_j(mbd, wm, hm, rows,
+                                              t8_mode=t8m)
                 return dcav.pack_slices_j(v, l, n_slices, cap_words)
 
             @jax.jit
@@ -342,6 +369,15 @@ class Encoder:
             sel16, mbd["luma_ac"].astype(jnp.int32), mbd["chroma_dc"],
             mbd["chroma_ac"])
         tc = luma_tc_grid_j(mbd, cbp_luma, wm, hm)
+        t8_grid = None
+        if "t8" in mbd:
+            # transform-8x8 MBs: the deblock coefficient condition uses
+            # the covering 8x8 block's total count on every cell
+            t8_grid = mbd["t8"].reshape(hm, wm)
+            tc8 = tc.reshape(hm * 2, 2, wm * 2, 2).sum(axis=(1, 3))
+            tc8 = jnp.repeat(jnp.repeat(tc8, 2, 0), 2, 1)
+            t8r = jnp.repeat(jnp.repeat(t8_grid, 4, 0), 4, 1)
+            tc = jnp.where(t8r, tc8, tc)
         intra_mb = (~is_inter).reshape(hm, wm)
         if b_motion is not None:
             mv0, use0, mv1, use1 = b_motion
@@ -379,7 +415,7 @@ class Encoder:
         fy, fu, fv = self._deblock(
             dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
             intra_mb, tc, mv_grid, ref_grid, np.int32(qp),
-            np.int32(chroma_qp(qp)))
+            np.int32(chroma_qp(qp)), t8_mb=t8_grid)
         return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                 fv.astype(jnp.uint8))
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from tpu264.kernels import interp as kint
 from tpu264.kernels import me as kme
 from tpu264.kernels import transform as kt
+from tpu264.kernels import transform8 as kt8
 from tpu264.ref.transform import chroma_qp
 from . import mvpred
 from .intra_frame import (CQP_J, ZZ_COLS, ZZ_ROWS,
@@ -51,7 +52,7 @@ CH_TR, CH_BL, CH_BR = 0, 1, 2
 def make_inter_encoder(sched: WaveSchedule,
                        chroma_qp_offset: int = 0, search_range: int = 16,
                        ref_prepadded: bool = False,
-                       partitions: bool = False):
+                       partitions: bool = False, t8: bool = False):
     """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
 
     qp is a traced scalar (rate control varies it per frame).
@@ -59,7 +60,12 @@ def make_inter_encoder(sched: WaveSchedule,
     path supplies real ppermute'd halo rows from neighbor tiles instead
     of edge replication — SURVEY.md §2c ref-pixel collectives).
     `partitions`: adds 16x8 / 8x16 candidates (per-half ME sweeps +
-    partition mode decision; ys gains ptype / mv2)."""
+    partition mode decision; ys gains ptype / mv2).
+    `t8`: High-profile transform_size_8x8_flag selection for 16x16
+    inter MBs — both transforms are evaluated batched and the per-MB
+    winner picked by SSD + lambda * coefficient-bits (ys gains t8;
+    luma_ac carries the CAVLC-interleaved pseudo-4x4 blocks,
+    spec 7.4.5.3.3, for transform-8x8 MBs)."""
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
     cqp_off = chroma_qp_offset
@@ -205,6 +211,43 @@ def make_inter_encoder(sched: WaveSchedule,
             .transpose(0, 1, 3, 2, 4).reshape(b, 16, 16))
         inter_zz = kt.zigzag_scan(lev_inter[:, ZZ_ROWS, ZZ_COLS])  # [B,16,16]
 
+        t8_sel = jnp.zeros(b, dtype=bool)
+        if t8:
+            # ---- 8x8-transform candidate (High profile, 16x16 MBs) ----
+            blk8 = resid.reshape(b, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+            lev8 = kt8.quant8x8(kt8.fdct8x8(blk8), qp, intra=False)
+            rec8 = kt.clip1(
+                pred_inter
+                + kt8.idct8x8(kt8.dequant8x8(lev8, qp))
+                .transpose(0, 1, 3, 2, 4).reshape(b, 16, 16))
+
+            def rbits(lev):
+                a = jnp.abs(lev).astype(jnp.float32)
+                bits = jnp.where(
+                    a > 0, 2.0 * jnp.ceil(jnp.log2(a + 1.0)) + 1.0, 0.0)
+                return bits.reshape(b, -1).sum(axis=1)
+
+            # SSD-domain lambda (0.85 * 2^((qp-12)/3), the JM J=D+lam*R
+            # convention) over the exact reconstructions
+            lam_ssd = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3)
+            ssd4 = ((gy - rec_inter) ** 2).reshape(b, -1)\
+                .sum(axis=1).astype(jnp.float32)
+            ssd8 = ((gy - rec8) ** 2).reshape(b, -1)\
+                .sum(axis=1).astype(jnp.float32)
+            j8_better = (ssd8 + lam_ssd * rbits(lev8)
+                         < ssd4 + lam_ssd * rbits(lev_inter))
+            t8_sel = (is_inter & (ptype == 0) & j8_better
+                      & (lev8 != 0).any(axis=(1, 2, 3, 4)))
+            # CAVLC interleave: coefficient 4k+i of the 8x8 scan becomes
+            # coefficient k of pseudo-4x4 block i (spec 7.4.5.3.3); the
+            # pseudo blocks land at BLK_ORDER rows 4n..4n+3 of luma_ac,
+            # so cbp / nC chaining / token serialization are unchanged.
+            scan64 = kt8.zigzag_scan8(lev8).reshape(b, 4, 64)
+            pseudo = scan64.reshape(b, 4, 16, 4).transpose(0, 1, 3, 2)
+            inter_zz = jnp.where(t8_sel[:, None, None],
+                                 pseudo.reshape(b, 16, 16), inter_zz)
+            rec_inter = jnp.where(t8_sel[:, None, None], rec8, rec_inter)
+
         # ---- select luma outputs ----
         recon_mb = jnp.where(is_inter[:, None, None], rec_inter,
                              jnp.where(sel16[:, None, None], rec16, mb4))
@@ -278,6 +321,8 @@ def make_inter_encoder(sched: WaveSchedule,
         if partitions:
             ys["ptype"] = jnp.where(is_inter, ptype, 0)
             ys["mv2"] = mv2_sel
+        if t8:
+            ys["t8"] = t8_sel
         return (bd, mv_map, ref_map), ys
 
     @jax.jit

@@ -42,6 +42,9 @@ class EncoderConfig:
     # (on for CAVLC IPPP — partition syntax is not wired into the CABAC
     # binarizer or the B engines yet)
     inter_partitions: "Optional[bool]" = None
+    # High-profile 8x8 transform (JM Transform8x8Mode); None = auto
+    # (on for CAVLC IPPP — the CABAC binarizer has no cat-5 path yet)
+    transform_8x8: "Optional[bool]" = None
     deblock: bool = True                 # in-loop filter enable
     rate_control: bool = False           # JM RateControlEnable
     bitrate: int = 0                     # target bps when rate_control
@@ -97,6 +100,7 @@ _JM_KEYS = {
     "NumberReferenceFrames": ("num_ref_frames", int),
     "SearchRange": ("search_range", int),
     "InterPartitions": ("inter_partitions", lambda s: bool(int(s))),
+    "Transform8x8Mode": ("transform_8x8", lambda s: bool(int(s))),
     "RateControlEnable": ("rate_control", lambda s: bool(int(s))),
     "Bitrate": ("bitrate", int),
     "OutputFile": ("output_file", str),

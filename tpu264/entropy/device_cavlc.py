@@ -370,15 +370,20 @@ def _i4_mode_slots_j(vals, lens, slot0, mb, is_i4, wm, hm, slice_rows):
         lens[slot0 + idx] = jnp.where(is_i4, jnp.where(is_mpm, 1, 4), 0)
 
 
-def serialize_frame_j(mb, wm: int, hm: int, slice_rows):
+def serialize_frame_j(mb, wm: int, hm: int, slice_rows,
+                      t8_mode: bool = False):
     """I-frame grids (mirror of slice_writer.serialize_frame_mbs).
 
-    Returns (values [n, MB_SLOTS] int32, lengths [n, MB_SLOTS] int32).
+    `t8_mode`: the PPS has transform_8x8_mode_flag set — Intra_4x4 MBs
+    must then carry a transform_size_8x8_flag bit (value 0: intra is
+    coded with the 4x4 transform) right after mb_type (spec 7.3.5).
+    Returns (values [n, SLOTS] int32, lengths [n, SLOTS] int32).
     """
     n = wm * hm
+    ioff = 1 if t8_mode else 0
     sel16 = mb["sel16"].astype(bool)
-    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS
-    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS
+    vals = [jnp.zeros(n, jnp.int32)] * (MB_SLOTS + ioff)
+    lens = [jnp.zeros(n, jnp.int32)] * (MB_SLOTS + ioff)
     luma_ac = mb["luma_ac"].astype(jnp.int32)
     cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
         sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
@@ -388,22 +393,24 @@ def serialize_frame_j(mb, wm: int, hm: int, slice_rows):
                     + 12 * (cbp_luma > 0), 0)
     vals[0], lens[0] = ue_code_j(mbt)
     vals[0] = vals[0].astype(jnp.int32)
+    if t8_mode:
+        lens[1] = jnp.where(~sel16, 1, 0)      # t8 flag = 0 for I_NxN
 
-    _i4_mode_slots_j(vals, lens, 1, mb, ~sel16, wm, hm, slice_rows)
+    _i4_mode_slots_j(vals, lens, 1 + ioff, mb, ~sel16, wm, hm, slice_rows)
 
     c, l = ue_code_j(mb["cmode"].astype(jnp.int32))
-    vals[17], lens[17] = c.astype(jnp.int32), l
+    vals[17 + ioff], lens[17 + ioff] = c.astype(jnp.int32), l
 
     cbp_code, cbp_len = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
-    vals[18] = jnp.where(~sel16, cbp_code.astype(jnp.int32), 0)
-    lens[18] = jnp.where(~sel16, cbp_len, 0)
+    vals[18 + ioff] = jnp.where(~sel16, cbp_code.astype(jnp.int32), 0)
+    lens[18 + ioff] = jnp.where(~sel16, cbp_len, 0)
 
     has_delta = sel16 | (cbp > 0)
-    vals[19] = jnp.where(has_delta, 1, 0)      # ue(se_to_ue(0)) = '1'
-    lens[19] = jnp.where(has_delta, 1, 0)
+    vals[19 + ioff] = jnp.where(has_delta, 1, 0)  # ue(se_to_ue(0)) = '1'
+    lens[19 + ioff] = jnp.where(has_delta, 1, 0)
 
-    _residual_slots_j(vals, lens, HDR_SLOTS, mb, sel16, cbp_luma, cbp_chroma,
-                      wm, hm, slice_rows)
+    _residual_slots_j(vals, lens, HDR_SLOTS + ioff, mb, sel16, cbp_luma,
+                      cbp_chroma, wm, hm, slice_rows)
     return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1)
 
 
@@ -572,10 +579,12 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     """
     n = wm * hm
     parts_mode = "ptype" in mb
+    t8_mode = "t8" in mb
+    ioff = 1 if t8_mode else 0
     is_inter = mb["is_inter"].astype(bool)
     sel16 = mb["sel16"].astype(bool) & ~is_inter
-    n_slots = MB_SLOTS_P + (2 if parts_mode else 0)
-    hdr_slots = HDR_SLOTS_P + (2 if parts_mode else 0)
+    n_slots = MB_SLOTS_P + (2 if parts_mode else 0) + 2 * ioff
+    hdr_slots = HDR_SLOTS_P + (2 if parts_mode else 0) + 2 * ioff
     vals = [jnp.zeros(n, jnp.int32)] * n_slots
     lens = [jnp.zeros(n, jnp.int32)] * n_slots
     luma_ac = mb["luma_ac"].astype(jnp.int32)
@@ -628,27 +637,29 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     lens[1] = jnp.where(coded, tl_, 0)
 
     is_i4 = coded & ~is_inter & ~sel16
-    _i4_mode_slots_j(vals, lens, 2, mb, is_i4, wm, hm, slice_rows)
+    if t8_mode:
+        lens[2] = jnp.where(is_i4, 1, 0)   # t8 flag = 0 for I_NxN
+    _i4_mode_slots_j(vals, lens, 2 + ioff, mb, is_i4, wm, hm, slice_rows)
 
     cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
     intra_coded = coded & ~is_inter
-    vals[18] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
-    lens[18] = jnp.where(intra_coded, cml, 0)
+    vals[18 + ioff] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
+    lens[18 + ioff] = jnp.where(intra_coded, cml, 0)
 
     inter_coded = coded & is_inter
-    for k, comp in ((19, 1), (20, 0)):
+    for k, comp in ((19 + ioff, 1), (20 + ioff, 0)):
         code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
         vals[k] = jnp.where(inter_coded, code.astype(jnp.int32), 0)
         lens[k] = jnp.where(inter_coded, ln, 0)
-    cbp_slot = 21
+    cbp_slot = 21 + ioff
     if parts_mode:
         # second partition's mvd (x then y) right after part0's
         on1 = inter_coded & (ptype > 0)
-        for k, comp in ((21, 1), (22, 0)):
+        for k, comp in ((21 + ioff, 1), (22 + ioff, 0)):
             code, ln = ue_code_j(se_to_ue_j(mvd1[:, comp]))
             vals[k] = jnp.where(on1, code.astype(jnp.int32), 0)
             lens[k] = jnp.where(on1, ln, 0)
-        cbp_slot = 23
+        cbp_slot = 23 + ioff
 
     ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
     cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
@@ -657,9 +668,19 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     lens[cbp_slot] = jnp.where(inter_coded, lp_,
                                jnp.where(is_i4, li_, 0))
 
+    dq_slot = cbp_slot + 1
+    if t8_mode:
+        # transform_size_8x8_flag after cbp for inter MBs with luma
+        # residual (spec 7.3.5; 16x16 / 16x8 / 8x16 all qualify)
+        t8v = mb["t8"].astype(bool)
+        flag_on = inter_coded & (cbp_luma > 0)
+        vals[dq_slot] = jnp.where(flag_on & t8v, 1, 0)
+        lens[dq_slot] = jnp.where(flag_on, 1, 0)
+        dq_slot += 1
+
     has_delta = coded & (sel16 | (cbp > 0))
-    vals[cbp_slot + 1] = jnp.where(has_delta, 1, 0)
-    lens[cbp_slot + 1] = jnp.where(has_delta, 1, 0)
+    vals[dq_slot] = jnp.where(has_delta, 1, 0)
+    lens[dq_slot] = jnp.where(has_delta, 1, 0)
 
     _residual_slots_j(vals, lens, hdr_slots, mb, sel16, cbp_luma,
                       cbp_chroma, wm, hm, slice_rows)

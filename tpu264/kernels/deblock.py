@@ -178,7 +178,8 @@ def make_deblocker_skewed(sched: WaveSchedule, qp=None, cqp=None,
         return win
 
     @jax.jit
-    def deblock(y, u, v, intra_mb, tc_luma, mv, ref, qp_t, cqp_t):
+    def deblock(y, u, v, intra_mb, tc_luma, mv, ref, qp_t, cqp_t,
+                t8_mb=None):
         qi = jnp.clip(jnp.asarray(qp_t, jnp.int32), 0, 51)
         ci = jnp.clip(jnp.asarray(cqp_t, jnp.int32), 0, 51)
         alpha, beta = ALPHA[qi], BETA[qi]
@@ -189,6 +190,14 @@ def make_deblocker_skewed(sched: WaveSchedule, qp=None, cqp=None,
                                      tc_luma.astype(jnp.int32),
                                      mv.astype(jnp.int32),
                                      ref.astype(jnp.int32))
+        if t8_mb is not None:
+            # transform-8x8 MBs have no internal 4x4 edges: their luma
+            # edges at x/y = 4 and 12 within the MB are not filtered
+            t8r = jnp.repeat(jnp.repeat(t8_mb.astype(bool), 4, 0), 4, 1)
+            odd_c = (jnp.arange(wm * 4) % 2 == 1)[None, :]
+            odd_r = (jnp.arange(hm * 4) % 2 == 1)[:, None]
+            bs_v = jnp.where(t8r & odd_c, 0, bs_v)
+            bs_h = jnp.where(t8r & odd_r, 0, bs_h)
         for r in zero_top_rows:
             bs_h = bs_h.at[r * 4, :].set(0)
         yb = _skew(y.astype(jnp.int32), 16)

@@ -116,10 +116,20 @@ class TiledEncoder:
             warnings.warn(
                 "inter_partitions requested but only supported for CAVLC "
                 "IPPP GOPs; encoding without partitions", stacklevel=2)
+        # High-profile 8x8 transform: same auto rule as Encoder
+        self.t8_mode = (cfg.transform_8x8
+                        if cfg.transform_8x8 is not None
+                        else (self.gop_mode == "ippp" and not self.cabac))
+        self.t8_mode = (self.t8_mode and self.gop_mode == "ippp"
+                        and not self.cabac)
+        if self.t8_mode:
+            self.sps, self.pps, self.cabac = build_params(
+                cfg, self.gop_mode, t8=True)
         self._enc_p = make_inter_encoder(band_sched,
                                          search_range=cfg.search_range,
                                          ref_prepadded=True,
-                                         partitions=self.partitions)
+                                         partitions=self.partitions,
+                                         t8=self.t8_mode)
         self._enc_b = None
         if self.gop_mode == "bgop":
             self._enc_b = make_b_encoder(band_sched,
@@ -173,6 +183,13 @@ class TiledEncoder:
                 sel16, mbd["luma_ac"].astype(jnp.int32), mbd["chroma_dc"],
                 mbd["chroma_ac"])
             tc = luma_tc_grid_j(mbd, cbp_luma, wm, bh)
+            t8_grid = None
+            if "t8" in mbd:
+                t8_grid = mbd["t8"].reshape(bh, wm)
+                tc8 = tc.reshape(bh * 2, 2, wm * 2, 2).sum(axis=(1, 3))
+                tc8 = jnp.repeat(jnp.repeat(tc8, 2, 0), 2, 1)
+                t8r = jnp.repeat(jnp.repeat(t8_grid, 4, 0), 4, 1)
+                tc = jnp.where(t8r, tc8, tc)
             if mode == "b":
                 btype = mbd["btype"]
                 is_inter = btype < 4
@@ -220,7 +237,8 @@ class TiledEncoder:
                 jnp.clip(qp, 0, 51)]
             fy, fu, fv = self._deblock(
                 dev_out["recon_y"], dev_out["recon_u"], dev_out["recon_v"],
-                intra_mb, tc, mv_grid, ref_grid, qp, cqp_t)
+                intra_mb, tc, mv_grid, ref_grid, qp, cqp_t,
+                t8_mb=t8_grid)
             return (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                     fv.astype(jnp.uint8))
 
@@ -274,7 +292,8 @@ class TiledEncoder:
                             counts[None, None])
                 return (recs[None, None], counts[None, None])
             if kind == "i":
-                v, l = _dcav.serialize_frame_j(mbd, wm, self.band_hm, rows)
+                v, l = _dcav.serialize_frame_j(mbd, wm, self.band_hm, rows,
+                                               t8_mode=self.t8_mode)
                 skipped = jnp.zeros(band_n, dtype=bool)
             elif kind == "p":
                 v, l, skipped = _dcav.serialize_frame_p_j(
