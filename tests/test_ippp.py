@@ -150,3 +150,37 @@ def test_partitions_16x8_8x16_roundtrip():
     # strictly better on this clip: fewer bits at >= equal quality
     assert len(stream) < len(s16)
     assert p_parts > p_16 - 0.05
+
+
+def test_weighted_prediction_emission_fade():
+    """Explicit P weighted prediction (VERDICT r4 task #6): on a fading
+    clip the WP encoder must beat the non-WP encoder decisively, and
+    both the external oracle and our decoder must reconstruct the WP
+    stream bit-exactly (slice-header pred_weight_table write path)."""
+    import numpy as np
+    from lavc_util import lavc_decode
+    from tpu264.media.synth import natural_frame
+    from tpu264.decode.decoder import decode_annexb
+    W, H = 176, 144
+    base = [natural_frame(W, H, t) for t in range(8)]
+    frames = [(np.clip(y.astype(np.float64) * (1 - 0.06 * t),
+                       0, 255).astype(np.uint8), u, v)
+              for t, (y, u, v) in enumerate(base)]
+    sizes = {}
+    for wp in (False, True):
+        cfg = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                            weighted_pred=wp)
+        enc = Encoder(cfg)
+        s = enc.encode_sequence(frames)
+        sizes[wp] = len(s)
+        want, errors = lavc_decode(s, W, H)
+        assert not errors, errors[:2]
+        for i in range(len(frames)):
+            assert np.array_equal(np.asarray(enc.recons[i][0]),
+                                  want[i][0]), ("lavc", wp, i)
+        got = decode_annexb(s)
+        for i in range(len(frames)):
+            for j in range(3):
+                assert np.array_equal(np.asarray(enc.recons[i][j]),
+                                      got[i][j]), ("own", wp, i, j)
+    assert sizes[True] < 0.8 * sizes[False], sizes

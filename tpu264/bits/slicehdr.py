@@ -93,7 +93,27 @@ class SliceHeader:
             if self.reorder_l1:
                 write_ue(s, 3)
         if pps.weighted_pred_flag and self.slice_type == SLICE_P:
-            raise NotImplementedError("explicit weighted prediction tables")
+            # pred_weight_table (spec 7.3.3.2); self.pred_weights uses
+            # the parse-side format (ld, cd, wl0, wl1)
+            ld, cd, wl0, _ = self.pred_weights or (
+                6, 6, [(64, 0, 64, 0, 64, 0)]
+                * self.num_ref_idx_l0_active, [])
+            write_ue(s, ld)               # luma_log2_weight_denom
+            write_ue(s, cd)               # chroma_log2_weight_denom
+            for wy, oy, wcb, ocb, wcr, ocr in wl0:
+                lflag = int((wy, oy) != (1 << ld, 0))
+                s.put(lflag, 1)
+                if lflag:
+                    write_se(s, wy)
+                    write_se(s, oy)
+                cflag = int((wcb, ocb, wcr, ocr)
+                            != (1 << cd, 0, 1 << cd, 0))
+                s.put(cflag, 1)
+                if cflag:
+                    write_se(s, wcb)
+                    write_se(s, ocb)
+                    write_se(s, wcr)
+                    write_se(s, ocr)
         if self.nal_ref_idc != 0:
             # dec_ref_pic_marking
             if self.is_idr:

@@ -89,7 +89,8 @@ def build_bgop_plan(nfr: int, num_b: int, intra_period: int):
     return plan
 
 
-def build_params(cfg: EncoderConfig, gop_mode: str, t8: bool = False):
+def build_params(cfg: EncoderConfig, gop_mode: str, t8: bool = False,
+                 wp: bool = False):
     """SPS/PPS for a config + GOP mode (shared by Encoder and
     TiledEncoder so tiled streams carry bit-identical parameter sets).
     `t8`: High-profile 8x8 transform is emitted — signal High profile
@@ -124,6 +125,7 @@ def build_params(cfg: EncoderConfig, gop_mode: str, t8: bool = False):
         pic_init_qp=26,
         deblocking_filter_control_present_flag=1,
         transform_8x8_mode_flag=1 if t8 else 0,
+        weighted_pred_flag=1 if wp else 0,
     )
     return sps, pps, cabac
 
@@ -196,13 +198,16 @@ class Encoder:
                 "transform_8x8 requested but only supported for CAVLC "
                 "IPPP GOPs; encoding with the 4x4 transform",
                 stacklevel=2)
-        if self.t8_mode:
+        # explicit P weighted prediction (opt-in; fades)
+        self.wp_mode = bool(cfg.weighted_pred) and gop_mode == "ippp"
+        if self.t8_mode or self.wp_mode:
             self.sps, self.pps, self.cabac = build_params(
-                cfg, gop_mode, t8=True)
+                cfg, gop_mode, t8=self.t8_mode, wp=self.wp_mode)
         if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
                 self.sched, search_range=cfg.search_range,
-                partitions=self.partitions, t8=self.t8_mode)
+                partitions=self.partitions, t8=self.t8_mode,
+                weighted=self.wp_mode)
         if gop_mode == "bgop":
             from .b_frame import make_b_encoder
             self._encode_b = make_b_encoder(
@@ -891,6 +896,23 @@ class Encoder:
                      dev_out["recon_v"].astype(jnp.uint8))
         return nalus, recon
 
+    def _estimate_wp(self, y, ref_y):
+        """Per-frame explicit-WP luma weights: least-squares gain/offset
+        of the current frame against the reference recon (JM
+        `weighted_prediction.c` ComputeExplicitWPParams analog), denom
+        6.  Near-identity estimates collapse to (64, 0) so headers stay
+        cheap on non-fade content."""
+        a = np.asarray(y).astype(np.float64)
+        rf = np.asarray(ref_y).astype(np.float64)
+        var = rf.var()
+        gain = 1.0 if var < 1e-3 else float(
+            ((a - a.mean()) * (rf - rf.mean())).mean() / var)
+        w = int(np.clip(round(gain * 64), 1, 127))
+        o = int(np.clip(round(a.mean() - w * rf.mean() / 64.0), -128, 127))
+        if abs(w - 64) < 2 and abs(o) < 2:
+            return 64, 0
+        return w, o
+
     def encode_p_frame(self, y, u, v, ref, frame_num: int,
                        qp: int | None = None, poc_lsb: int = 0,
                        reorder_l0: tuple = ()):
@@ -900,8 +922,16 @@ class Encoder:
             qp = cfg.qp_inter
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
-        dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1], ref[2],
-                                     np.int32(qp))
+        pred_weights = None
+        if self.wp_mode:
+            wy_i, oy_i = self._estimate_wp(yd, ref[0])
+            pred_weights = (6, 6, [(wy_i, oy_i, 64, 0, 64, 0)], [])
+            dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1],
+                                         ref[2], np.int32(qp),
+                                         np.int32(wy_i), np.int32(oy_i))
+        else:
+            dev_out, ys = self._encode_p(yd, ud, vd, ref[0], ref[1],
+                                         ref[2], np.int32(qp))
         slice_rows = self.sched.slice_starts.tolist()
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
 
@@ -916,6 +946,7 @@ class Encoder:
                 is_idr=False,
                 nal_ref_idc=2,
                 reorder_l0=reorder_l0,
+                pred_weights=pred_weights,
             )
             return hdr.write_rbsp_head(self.sps, self.pps)
 

@@ -52,7 +52,8 @@ CH_TR, CH_BL, CH_BR = 0, 1, 2
 def make_inter_encoder(sched: WaveSchedule,
                        chroma_qp_offset: int = 0, search_range: int = 16,
                        ref_prepadded: bool = False,
-                       partitions: bool = False, t8: bool = False):
+                       partitions: bool = False, t8: bool = False,
+                       weighted: bool = False):
     """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
 
     qp is a traced scalar (rate control varies it per frame).
@@ -65,7 +66,13 @@ def make_inter_encoder(sched: WaveSchedule,
     inter MBs — both transforms are evaluated batched and the per-MB
     winner picked by SSD + lambda * coefficient-bits (ys gains t8;
     luma_ac carries the CAVLC-interleaved pseudo-4x4 blocks,
-    spec 7.4.5.3.3, for transform-8x8 MBs)."""
+    spec 7.4.5.3.3, for transform-8x8 MBs).
+    `weighted`: explicit luma weighted prediction (spec 8.4.2.3.2,
+    denom 6) — encode() gains traced (wy, oy); every luma MC
+    prediction is weighted AFTER interpolation (exactly what the
+    decoder computes), and motion search runs against a pre-weighted
+    reference so fades do not defeat the SAD sweep.  Chroma keeps
+    default weights."""
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
     cqp_off = chroma_qp_offset
@@ -79,8 +86,15 @@ def make_inter_encoder(sched: WaveSchedule,
     )
 
     def wave_body(planes, cu_pad, cv_pad, qp, cqp, lam4, lam24, lam_me,
-                  carry, x):
+                  wy, oy, carry, x):
         bd, mv_map, ref_map = carry
+
+        def wl(pred):
+            """Explicit luma weighting of an interpolated prediction
+            (spec 8.4.2.3.2, denom 6); identity when disabled."""
+            if not weighted:
+                return pred
+            return jnp.clip(((pred * wy + 32) >> 6) + oy, 0, 255)
         coords = x["coords"]
         r, c = coords[:, 0], coords[:, 1]
         at, al, atl, atr = (x["avail"][:, i] for i in range(4))
@@ -132,7 +146,7 @@ def make_inter_encoder(sched: WaveSchedule,
         x0 = c * 16 + PAD
 
         def inter_cost(mv):
-            pred = kint.mc_luma(planes, y0, x0, mv)
+            pred = wl(kint.mc_luma(planes, y0, x0, mv))
             diff = gy - pred
             blk = diff.reshape(b, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
             satd = kt.satd4x4(blk).sum(axis=(1, 2))
@@ -153,14 +167,14 @@ def make_inter_encoder(sched: WaveSchedule,
             # ---- 16x8 / 8x16 candidates (per-half refined MVs) ----
             mvT, mvB = x["mv_top"], x["mv_bot"]
             mvL, mvR = x["mv_left"], x["mv_right"]
-            p16x8 = jnp.concatenate(
+            p16x8 = wl(jnp.concatenate(
                 [kint.mc_luma(planes, y0, x0, mvT, bh=8, bw=16),
                  kint.mc_luma(planes, y0 + 8, x0, mvB, bh=8, bw=16)],
-                axis=1)
-            p8x16 = jnp.concatenate(
+                axis=1))
+            p8x16 = wl(jnp.concatenate(
                 [kint.mc_luma(planes, y0, x0, mvL, bh=16, bw=8),
                  kint.mc_luma(planes, y0, x0 + 8, mvR, bh=16, bw=8)],
-                axis=2)
+                axis=2))
 
             def satd_full(pred):
                 diff = gy - pred
@@ -326,13 +340,16 @@ def make_inter_encoder(sched: WaveSchedule,
         return (bd, mv_map, ref_map), ys
 
     @jax.jit
-    def encode(y, u, v, ref_y, ref_u, ref_v, qp):
+    def encode(y, u, v, ref_y, ref_u, ref_v, qp, wy=None, oy=None):
         y = y.astype(jnp.int32)
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
         qp = jnp.asarray(qp, jnp.int32)
         cqp = CQP_J[jnp.clip(qp + cqp_off, 0, 51)]
         lam4, lam24, lam_me = lambda_terms_j(qp)
+        if weighted:
+            wy = jnp.asarray(wy, jnp.int32)
+            oy = jnp.asarray(oy, jnp.int32)
         if ref_prepadded:
             ref_pad = ref_y.astype(jnp.int32)
             cu_pad = ref_u.astype(jnp.int32)
@@ -344,8 +361,15 @@ def make_inter_encoder(sched: WaveSchedule,
         planes = kint.luma_planes(ref_pad)
 
         # ---- phase 1: parallel full-search + subpel for every MB ----
-        mv_int, _ = kme.full_search_16x16(y, ref_pad, PAD, rng, lam_me, wm, hm)
-        mv_q = kme.subpel_refine(y, planes, PAD, mv_int, lam_me, wm, hm)
+        if weighted:
+            # search against the pre-weighted reference (decision only;
+            # exact predictions are weighted post-interpolation)
+            me_ref = jnp.clip(((ref_pad * wy + 32) >> 6) + oy, 0, 255)
+            me_planes = kint.luma_planes(me_ref)
+        else:
+            me_ref, me_planes = ref_pad, planes
+        mv_int, _ = kme.full_search_16x16(y, me_ref, PAD, rng, lam_me, wm, hm)
+        mv_q = kme.subpel_refine(y, me_planes, PAD, mv_int, lam_me, wm, hm)
         # rearrange per wave: [n_waves, Bmax, 2]
         idx = jnp.asarray(np.minimum(sched.mb_index, sched.n_mbs - 1))
         mv_wave = mv_q[idx]
@@ -357,18 +381,18 @@ def make_inter_encoder(sched: WaveSchedule,
         gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
         xs_full = dict(xs, mv_me=mv_wave, gy=gy_all, gu=gu_all, gv=gv_all)
         if partitions:
-            halves = kme.full_search_parts(y, ref_pad, PAD, rng, lam_me,
+            halves = kme.full_search_parts(y, me_ref, PAD, rng, lam_me,
                                            wm, hm)
             geo = dict(top=(0, 0, 8, 16), bot=(8, 0, 8, 16),
                        left=(0, 0, 16, 8), right=(0, 8, 16, 8))
-            for key, (oy, ox, bh, bw) in geo.items():
-                mvq = kme.subpel_refine(y, planes, PAD, halves[key],
-                                        lam_me, wm, hm, oy=oy, ox=ox,
+            for key, (py_, px_, bh, bw) in geo.items():
+                mvq = kme.subpel_refine(y, me_planes, PAD, halves[key],
+                                        lam_me, wm, hm, oy=py_, ox=px_,
                                         bh=bh, bw=bw)
                 xs_full[f"mv_{key}"] = mvq[idx]
         carry, ys = jax.lax.scan(
             lambda cr, xx: wave_body(planes, cu_pad, cv_pad, qp, cqp,
-                                     lam4, lam24, lam_me, cr, xx),
+                                     lam4, lam24, lam_me, wy, oy, cr, xx),
             (bd, mv_map, ref_map), xs_full)
         out = dict(
             recon_y=assemble_plane(sched, ys.pop("recon_mb"), 16),

@@ -45,6 +45,10 @@ class EncoderConfig:
     # High-profile 8x8 transform (JM Transform8x8Mode); None = auto
     # (on for CAVLC IPPP — the CABAC binarizer has no cat-5 path yet)
     transform_8x8: "Optional[bool]" = None
+    # explicit P weighted prediction (JM WeightedPrediction); opt-in:
+    # per-frame luma gain/offset estimation for fades (single-device
+    # IPPP encoder; the tiled path does not emit WP)
+    weighted_pred: bool = False
     deblock: bool = True                 # in-loop filter enable
     rate_control: bool = False           # JM RateControlEnable
     bitrate: int = 0                     # target bps when rate_control
@@ -101,6 +105,7 @@ _JM_KEYS = {
     "SearchRange": ("search_range", int),
     "InterPartitions": ("inter_partitions", lambda s: bool(int(s))),
     "Transform8x8Mode": ("transform_8x8", lambda s: bool(int(s))),
+    "WeightedPrediction": ("weighted_pred", lambda s: bool(int(s))),
     "RateControlEnable": ("rate_control", lambda s: bool(int(s))),
     "Bitrate": ("bitrate", int),
     "OutputFile": ("output_file", str),
