@@ -245,3 +245,15 @@ def test_x264_deblock_offsets(db, ec):
                     params=_base(ec) + f":ref=2:partitions=p8x8:keyint=30"
                     f":deblock={db}")
     _check(s)
+
+
+@pytest.mark.parametrize("ec", [0, 1])
+@pytest.mark.parametrize("cqm", ["jvt", "flat"])
+def test_x264_scaling_matrices(cqm, ec):
+    """SPS/PPS scaling lists (spec 7.3.2.1.1 + 8.5.9 weighted dequant):
+    x264 --cqm jvt emits non-flat 4x4 and 8x8 weight matrices; default
+    matrices verified against libavcodec rodata."""
+    s = x264_encode(_frames(5), qp=28,
+                    params=_base(ec) + f":ref=2:partitions=p8x8:8x8dct=1"
+                    f":cqm={cqm}")
+    _check(s)

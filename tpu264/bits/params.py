@@ -14,6 +14,98 @@ from .bitwriter import BitSink
 from .expgolomb import read_se, read_ue, write_se, write_ue
 
 
+
+
+# ---------------------------------------------------------------- scaling
+# Default scaling lists (spec Tables 7-3/7-4, zig-zag order); verified
+# against the system libavcodec rodata (raster form, see round-5 notes).
+import numpy as np
+
+DEFAULT_4x4 = (
+    [6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42],
+    [10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34])
+DEFAULT_8x8 = (
+    [6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
+     23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+     27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31, 31,
+     31, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 38, 38, 40, 40, 42],
+    [9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
+     21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
+     24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27, 27,
+     27, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 32, 32, 33, 33, 35])
+_ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+_ZZ8 = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _derzz(scan_vals, size):
+    zz = _ZZ4 if size == 16 else _ZZ8
+    out = np.zeros(size, dtype=np.int64)
+    out[zz] = scan_vals
+    n = 4 if size == 16 else 8
+    return out.reshape(n, n)
+
+
+def _read_scaling_list(r, size):
+    """scaling_list() (spec 7.3.2.1.1) -> (scan values, use_default)."""
+    last, nxt = 8, 8
+    vals = []
+    use_default = False
+    for j in range(size):
+        if nxt != 0:
+            delta = read_se(r)
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                use_default = True
+        vals.append(last if nxt == 0 else nxt)
+        last = vals[-1]
+    return vals, use_default
+
+
+def parse_scaling_lists(r, n_lists, fallback4, fallback8):
+    """Parse `n_lists` scaling lists with the Table 7-2 fall-back rules.
+
+    fallback4/fallback8: the rule-A/B fallbacks for absent lists 0/3 and
+    6/7 (default matrices for rule A, the SPS lists for rule B); absent
+    non-anchor lists fall back to the PREVIOUS list.  Returns
+    (w4 [6][4,4], w8 [2][8,8]) raster int64 arrays."""
+    w4 = [None] * 6
+    w8 = [None] * 2
+    for i in range(n_lists):
+        size = 16 if i < 6 else 64
+        present = r.read(1)
+        if present:
+            vals, use_def = _read_scaling_list(r, size)
+            if use_def:
+                mat = _derzz(DEFAULT_4x4[0 if i < 3 else 1], 16)                     if i < 6 else _derzz(DEFAULT_8x8[i - 6], 64)
+            else:
+                mat = _derzz(vals, size)
+        else:
+            if i == 0 or i == 3:
+                mat = fallback4[0 if i == 0 else 1].copy()
+            elif i < 6:
+                mat = w4[i - 1].copy()
+            else:
+                mat = fallback8[i - 6].copy()
+        if i < 6:
+            w4[i] = mat
+        else:
+            w8[i - 6] = mat
+    for i in range(1, 6):                # PPS with n_lists == 6: no 8x8
+        if w4[i] is None:
+            w4[i] = w4[i - 1].copy()
+    if w8[0] is None:
+        w8 = [fallback8[0].copy(), fallback8[1].copy()]
+    return w4, w8
+
+
+def _default_mats():
+    return ([_derzz(DEFAULT_4x4[0], 16), _derzz(DEFAULT_4x4[1], 16)],
+            [_derzz(DEFAULT_8x8[0], 64), _derzz(DEFAULT_8x8[1], 64)])
+
+
 @dataclasses.dataclass
 class SPS:
     profile_idc: int = 66
@@ -25,6 +117,8 @@ class SPS:
     log2_max_pic_order_cnt_lsb: int = 8   # used when poc type 0
     max_num_ref_frames: int = 1
     qpprime_y_zero_transform_bypass_flag: int = 0  # lossless (prof 244)
+    scaling_w4: object = None         # [6][4,4] weightScale or None=flat
+    scaling_w8: object = None         # [2][8,8]
     gaps_in_frame_num_allowed: int = 0
     pic_width_in_mbs: int = 11
     pic_height_in_map_units: int = 9
@@ -104,8 +198,10 @@ class SPS:
                 r.read(1)
             read_ue(r); read_ue(r)    # bit depths
             sps.qpprime_y_zero_transform_bypass_flag = r.read(1)
-            if r.read(1):             # scaling matrices
-                raise NotImplementedError("seq scaling matrices")
+            if r.read(1):             # seq_scaling_matrix_present_flag
+                d4, d8 = _default_mats()
+                sps.scaling_w4, sps.scaling_w8 = parse_scaling_lists(
+                    r, 8, d4, d8)     # rule A: defaults anchor 0/3/6/7
             if chroma_format_idc != 1:
                 raise NotImplementedError("only 4:2:0")
         sps.log2_max_frame_num = read_ue(r) + 4
@@ -146,6 +242,8 @@ class PPS:
     redundant_pic_cnt_present_flag: int = 0
     transform_8x8_mode_flag: int = 0      # High-profile tail (7.3.2.2)
     second_chroma_qp_index_offset: int = 0
+    scaling_w4: object = None         # [6][4,4] weightScale or None=flat
+    scaling_w8: object = None         # [2][8,8]
 
     def write_rbsp(self) -> bytes:
         s = BitSink()
@@ -172,7 +270,7 @@ class PPS:
         return s.to_bytes()
 
     @classmethod
-    def parse_rbsp(cls, rbsp: bytes) -> "PPS":
+    def parse_rbsp(cls, rbsp: bytes, sps: "SPS | None" = None) -> "PPS":
         r = BitReader(rbsp)
         pps = cls()
         pps.pic_parameter_set_id = read_ue(r)
@@ -194,7 +292,16 @@ class PPS:
         pps.second_chroma_qp_index_offset = pps.chroma_qp_index_offset
         if r.more_rbsp_data():        # High-profile tail
             pps.transform_8x8_mode_flag = r.read(1)
-            if r.read(1):
-                raise NotImplementedError("pic scaling matrices")
+            if r.read(1):             # pic_scaling_matrix_present_flag
+                # rule B when the SPS carried matrices (its lists anchor
+                # 0/3/6/7), rule A (defaults) otherwise
+                if sps is not None and sps.scaling_w4 is not None:
+                    f4 = [sps.scaling_w4[0], sps.scaling_w4[3]]
+                    f8 = sps.scaling_w8
+                else:
+                    f4, f8 = _default_mats()
+                n = 6 + 2 * pps.transform_8x8_mode_flag
+                pps.scaling_w4, pps.scaling_w8 = parse_scaling_lists(
+                    r, n, f4, f8)
             pps.second_chroma_qp_index_offset = read_se(r)
         return pps

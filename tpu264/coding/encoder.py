@@ -309,14 +309,16 @@ class Encoder:
 
         self._sse3 = _sse3
 
-    def _cabac_payloads(self, mbd, qp: int, kind: str):
+    def _cabac_payloads(self, mbd, qp: int, kind: str, rec=None):
         """CABAC slice payloads from the device record path.
 
         Binarization + compaction ran on device; the arithmetic coder is
         the Pallas lane-serial kernel (TPU) or the native C replay
         (host).  Falls back to the host numpy binarizer if a slice
-        overflows the record cap (pathological content)."""
-        recs, counts, skipped = self._crec[kind](mbd)
+        overflows the record cap (pathological content).  `rec`: the
+        already-dispatched `self._crec[kind](mbd)` result (PP path)."""
+        recs, counts, skipped = (rec if rec is not None
+                                 else self._crec[kind](mbd))
         counts_np = np.asarray(counts)
         table = 0 if kind == "i" else 1
         if int(counts_np.max()) > self._cabac_cap:
@@ -585,6 +587,31 @@ class Encoder:
         self.recons = []
         frame_num = 0
         idr_count = 0
+        # PP frame pipelining (SURVEY.md §2b): with no rate control the
+        # entropy pull + NAL assembly of frame k runs while the device
+        # computes frame k+1 (RC needs frame k's bits before choosing
+        # frame k+1's QP, so it finishes eagerly)
+        pipeline = self.rc is None
+        pending = None     # (index, is_idr, finish, sse_handle, sizes, t0)
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            i0, idr0, fin, sse, sizes, t0 = pending
+            pending = None
+            nalus = fin()
+            out.extend(nalus)
+            bits = sum(8 * len(b) for b in nalus)
+            st = np.asarray(sse)
+            ps = tuple(
+                99.99 if s == 0 else
+                10 * np.log10(255.0 ** 2 * npx / float(s))
+                for s, npx in zip(st[:3], sizes))
+            self.stats.append(FrameStats(
+                i0, "IDR" if idr0 else "P", bits, ps[0], ps[1], ps[2],
+                time.monotonic() - t0))
+
         for i, (y, u, v) in enumerate(frames):
             t0 = time.monotonic()
             period = self.cfg.intra_period
@@ -594,39 +621,40 @@ class Encoder:
             if self.rc is not None:
                 qp = self.rc.frame_qp("I" if is_idr else "P")
             if is_idr:
-                nalus, recon = self.encode_intra_frame(
-                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2, qp=qp)
+                fin, recon = self.encode_intra_frame(
+                    y, u, v, frame_num=0, idr_pic_id=idr_count % 2,
+                    qp=qp, defer=True)
                 idr_count += 1
                 frame_num = 1
             else:
-                nalus, recon = self.encode_p_frame(
-                    y, u, v, self.recons[-1], frame_num=frame_num, qp=qp)
+                fin, recon = self.encode_p_frame(
+                    y, u, v, self.recons[-1], frame_num=frame_num,
+                    qp=qp, defer=True)
                 frame_num = (frame_num + 1) % (1 << self.sps.log2_max_frame_num)
-            dt = time.monotonic() - t0
-            out.extend(nalus)
             self.recons.append(recon)
+            sse = self._sse3(self._dev_orig[0], self._dev_orig[1],
+                             self._dev_orig[2], *recon)
+            sizes = (y.size, u.size, v.size)
+            if pipeline:
+                # device now works on THIS frame; finish the previous
+                drain()
+                pending = (i, is_idr, fin, sse, sizes, t0)
+                continue
+            nalus = fin()
+            out.extend(nalus)
             bits = sum(8 * len(b) for b in nalus)
-            mad = None
-            if isinstance(recon[0], np.ndarray):
-                ps = (psnr(y, recon[0]), psnr(u, recon[1]),
-                      psnr(v, recon[2]))
-                if self.rc is not None:
-                    mad = float(np.abs(y.astype(np.int32)
-                                       - recon[0].astype(np.int32)).mean())
-            else:
-                st = np.asarray(self._sse3(self._dev_orig[0],
-                                           self._dev_orig[1],
-                                           self._dev_orig[2], *recon))
-                ps = tuple(
-                    99.99 if s == 0 else
-                    10 * np.log10(255.0 ** 2 * npx / float(s))
-                    for s, npx in zip(st[:3], (y.size, u.size, v.size)))
-                mad = float(st[3]) / y.size
+            st = np.asarray(sse)
+            ps = tuple(
+                99.99 if s == 0 else
+                10 * np.log10(255.0 ** 2 * npx / float(s))
+                for s, npx in zip(st[:3], sizes))
+            mad = float(st[3]) / y.size
             if self.rc is not None:
-                self.rc.update("I" if is_idr else "P", bits,
-                               mad if mad is not None else 1.0)
+                self.rc.update("I" if is_idr else "P", bits, mad)
             self.stats.append(FrameStats(
-                i, "IDR" if is_idr else "P", bits, ps[0], ps[1], ps[2], dt))
+                i, "IDR" if is_idr else "P", bits, ps[0], ps[1], ps[2],
+                time.monotonic() - t0))
+        drain()
         return b"".join(out)
 
 
@@ -834,8 +862,9 @@ class Encoder:
 
     def encode_intra_frame(self, y, u, v, frame_num: int = 0,
                            idr_pic_id: int = 0, qp: int | None = None,
-                           poc_lsb: int = 0):
-        """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV))."""
+                           poc_lsb: int = 0, defer: bool = False):
+        """Encode one IDR frame → ([nalu bytes...], (recY, recU, recV));
+        `defer` returns (finish, recon) for PP frame pipelining."""
         cfg = self.cfg
         if qp is None:
             qp = cfg.qp
@@ -862,39 +891,39 @@ class Encoder:
             )
             return hdr.write_rbsp_head(self.sps, self.pps)
 
-        nalus = []
-        if self.cabac:
-            mbd = reorder_wave_outputs_j(self.sched, ys)
-            payloads, _ = self._cabac_payloads(mbd, qp, "i")
-            for s in range(cfg.slices_per_frame):
-                sink = hdr_sink(s)
-                sink.cabac_align()
-                nalus.append(nal.make_nalu(
-                    3, nal.NAL_IDR, sink.to_bytes() + payloads[s]))
-            if cfg.deblock:
-                recon = self._apply_deblock_j(dev_out, mbd, qp)
-            else:
-                recon = (dev_out["recon_y"].astype(jnp.uint8),
-                         dev_out["recon_u"].astype(jnp.uint8),
-                         dev_out["recon_v"].astype(jnp.uint8))
-            return nalus, recon
-
         mbd = reorder_wave_outputs_j(self.sched, ys)
-        words, nbits = self._ser_i(mbd)
-        nbits_np = np.asarray(nbits)
-        words_np = _bucketed_words(words, nbits_np)
-        for s in range(cfg.slices_per_frame):
-            nb = int(nbits_np[s])
-            wslice = words_np[s, : (nb + 31) // 32]
-            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
-            nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
+        if self.cabac:
+            recs = self._crec["i"](mbd)
+        else:
+            words, nbits = self._ser_i(mbd)
         if cfg.deblock:
             recon = self._apply_deblock_j(dev_out, mbd, qp)
         else:
             recon = (dev_out["recon_y"].astype(jnp.uint8),
                      dev_out["recon_u"].astype(jnp.uint8),
                      dev_out["recon_v"].astype(jnp.uint8))
-        return nalus, recon
+
+        def finish():
+            nalus = []
+            if self.cabac:
+                payloads, _ = self._cabac_payloads(mbd, qp, "i", rec=recs)
+                for s in range(cfg.slices_per_frame):
+                    sink = hdr_sink(s)
+                    sink.cabac_align()
+                    nalus.append(nal.make_nalu(
+                        3, nal.NAL_IDR, sink.to_bytes() + payloads[s]))
+                return nalus
+            nbits_np = np.asarray(nbits)
+            words_np = _bucketed_words(words, nbits_np)
+            for s in range(cfg.slices_per_frame):
+                nb = int(nbits_np[s])
+                wslice = words_np[s, : (nb + 31) // 32]
+                rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s))
+                nalus.append(nal.make_nalu(3, nal.NAL_IDR, rbsp))
+            return nalus
+        if defer:
+            return finish, recon
+        return finish(), recon
 
     def _estimate_wp(self, y, ref_y):
         """Per-frame explicit-WP luma weights: least-squares gain/offset
@@ -915,8 +944,13 @@ class Encoder:
 
     def encode_p_frame(self, y, u, v, ref, frame_num: int,
                        qp: int | None = None, poc_lsb: int = 0,
-                       reorder_l0: tuple = ()):
-        """Encode one P frame against `ref` = (y, u, v) recon planes."""
+                       reorder_l0: tuple = (), defer: bool = False):
+        """Encode one P frame against `ref` = (y, u, v) recon planes.
+
+        `defer`: return (finish, recon) instead of (nalus, recon) —
+        recon is dispatched on device immediately (the next frame's
+        encode can start), while `finish()` does the host entropy pull
+        + NAL assembly later (PP frame pipelining, SURVEY.md §2b)."""
         cfg = self.cfg
         if qp is None:
             qp = cfg.qp_inter
@@ -950,18 +984,12 @@ class Encoder:
             )
             return hdr.write_rbsp_head(self.sps, self.pps)
 
-        nalus = []
         if self.cabac:
             mbd = reorder_wave_outputs_j(self.sched, ys)
-            payloads, _ = self._cabac_payloads(mbd, qp, "p")
+            recs = self._crec["p"](mbd)       # async device dispatch
             self._last_colzero = (
                 mbd["is_inter"].astype(bool)
                 & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
-            for s in range(cfg.slices_per_frame):
-                sink = hdr_sink(s)
-                sink.cabac_align()
-                nalus.append(nal.make_nalu(
-                    2, nal.NAL_SLICE, sink.to_bytes() + payloads[s]))
             if cfg.deblock:
                 recon = self._apply_deblock_j(
                     dev_out, mbd, qp,
@@ -971,40 +999,60 @@ class Encoder:
                 recon = (dev_out["recon_y"].astype(jnp.uint8),
                          dev_out["recon_u"].astype(jnp.uint8),
                          dev_out["recon_v"].astype(jnp.uint8))
-            return nalus, recon
+
+            def finish():
+                payloads, _ = self._cabac_payloads(mbd, qp, "p",
+                                                   rec=recs)
+                nalus = []
+                for s in range(cfg.slices_per_frame):
+                    sink = hdr_sink(s)
+                    sink.cabac_align()
+                    nalus.append(nal.make_nalu(
+                        2, nal.NAL_SLICE, sink.to_bytes() + payloads[s]))
+                return nalus
+            if defer:
+                return finish, recon
+            return finish(), recon
 
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits, skipped_d = self._ser_p(mbd)
         self._last_colzero = (
             mbd["is_inter"].astype(bool)
             & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
-        nbits_np = np.asarray(nbits)
-        words_np = _bucketed_words(words, nbits_np)
-        skipped = np.asarray(skipped_d)
-        for s in range(cfg.slices_per_frame):
-            first_mb = s * rows_per_slice * cfg.width_mbs
-            last_mb = first_mb + rows_per_slice * cfg.width_mbs
-            tail = slice_writer.trailing_skip_run(skipped, first_mb, last_mb)
-            nb = int(nbits_np[s])
-            wslice = words_np[s, : (nb + 31) // 32]
-            rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s),
-                                            final_skip_run=tail)
-            nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
         if cfg.deblock:
             pm = None
             if "ptype" in mbd:
                 pm = (mbd["ptype"].astype(jnp.int32),
                       mbd["mv"].astype(jnp.int32),
                       mbd["mv2"].astype(jnp.int32))
-            recon = self._apply_deblock_j(
+            recon_d = self._apply_deblock_j(
                 dev_out, mbd, qp,
                 is_inter=mbd["is_inter"].astype(bool),
                 mv=mbd["mv"].astype(jnp.int32), p_motion=pm)
         else:
-            recon = (dev_out["recon_y"].astype(jnp.uint8),
-                     dev_out["recon_u"].astype(jnp.uint8),
-                     dev_out["recon_v"].astype(jnp.uint8))
-        return nalus, recon
+            recon_d = (dev_out["recon_y"].astype(jnp.uint8),
+                       dev_out["recon_u"].astype(jnp.uint8),
+                       dev_out["recon_v"].astype(jnp.uint8))
+
+        def finish():
+            nalus = []
+            nbits_np = np.asarray(nbits)
+            words_np = _bucketed_words(words, nbits_np)
+            skipped = np.asarray(skipped_d)
+            for s in range(cfg.slices_per_frame):
+                first_mb = s * rows_per_slice * cfg.width_mbs
+                last_mb = first_mb + rows_per_slice * cfg.width_mbs
+                tail = slice_writer.trailing_skip_run(skipped, first_mb,
+                                                      last_mb)
+                nb = int(nbits_np[s])
+                wslice = words_np[s, : (nb + 31) // 32]
+                rbsp = self._dcav.words_to_rbsp(wslice, nb, hdr_sink(s),
+                                                final_skip_run=tail)
+                nalus.append(nal.make_nalu(2, nal.NAL_SLICE, rbsp))
+            return nalus
+        if defer:
+            return finish, recon_d
+        return finish(), recon_d
 
 
 def _bucketed_words(words, nbits_np) -> np.ndarray:

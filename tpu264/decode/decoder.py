@@ -161,8 +161,10 @@ class Decoder:
         for ref_idc, ntype, rbsp in nal.split_annexb(stream):
             if ntype == nal.NAL_SPS:
                 self.sps = SPS.parse_rbsp(rbsp)
+                self._activate_scaling()
             elif ntype == nal.NAL_PPS:
-                self.pps = PPS.parse_rbsp(rbsp)
+                self.pps = PPS.parse_rbsp(rbsp, self.sps)
+                self._activate_scaling()
             elif ntype in (nal.NAL_SLICE, nal.NAL_IDR):
                 if self.conceal:
                     try:
@@ -643,7 +645,7 @@ class Decoder:
                                       b_at, b_al, b_atl)
                 coeff = np.zeros(16, dtype=np.int64)
                 coeff[rt.ZIGZAG_4x4] = scanned
-                res = rt.residual_block_recon(coeff.reshape(4, 4), qp)
+                res = rt.residual_block_recon(coeff.reshape(4, 4), qp, ws=self._ws4(0))
                 y0, x0 = mr * 16 + by * 4, mc * 16 + bx * 4
                 pic.y[y0:y0 + 4, x0:x0 + 4] = rt.clip1(pred + res)
         else:                            # Intra_16x16
@@ -657,14 +659,15 @@ class Decoder:
                                     at, al, atl)
             dc = np.zeros(16, dtype=np.int64)
             dc[rt.ZIGZAG_4x4] = mbv["luma_dc"]
-            dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp)
+            dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp,
+                                                   w00=self._w00(0))
             recon = np.zeros((16, 16), dtype=np.int64)
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 ac = mbv["luma_ac15"][idx]
                 pic.luma_tc[mr * 4 + by, mc * 4 + bx] = (ac != 0).sum()
                 coeff = np.zeros(16, dtype=np.int64)
                 coeff[rt.ZIGZAG_4x4[1:]] = ac
-                res = rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                res = rt.residual_block_recon(coeff.reshape(4, 4), qp, ws=self._ws4(0),
                                               dc=int(dc_deq[by, bx]))
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
             pic.y[y0:y0 + 16, x0:x0 + 16] = rt.clip1(pred + recon)
@@ -683,11 +686,14 @@ class Decoder:
             pred = ri.predict_chroma8x8(mbv["cmode"], top, left, tl,
                                         at, al, atl)
             plane[y0:y0 + 8, x0:x0 + 8] = self._chroma_comp_recon(
-                pic, mr, mc, cqp, mbv, comp, pred)
+                pic, mr, mc, cqp, mbv, comp, pred, intra=True)
 
-    def _chroma_comp_recon(self, pic, mr, mc, cqp, mbv, comp, pred):
+    def _chroma_comp_recon(self, pic, mr, mc, cqp, mbv, comp, pred,
+                           intra: bool = False):
+        lidx = (1 if intra else 4) + comp
         dc_deq = rt.hadamard2x2_inv_dequant_dc(
-            mbv["chroma_dc"][comp].reshape(2, 2), cqp)
+            mbv["chroma_dc"][comp].reshape(2, 2), cqp,
+            w00=self._w00(lidx))
         recon = np.zeros((8, 8), dtype=np.int64)
         for idx in range(4):
             by, bx = idx // 2, idx % 2
@@ -697,7 +703,8 @@ class Decoder:
             coeff[rt.ZIGZAG_4x4[1:]] = ac
             recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
                 rt.residual_block_recon(coeff.reshape(4, 4), cqp,
-                                        dc=int(dc_deq[by, bx]))
+                                        dc=int(dc_deq[by, bx]),
+                                        ws=self._ws4(lidx))
         return rt.clip1(pred + recon)
 
     def _recon_chroma_vals(self, pic, mr, mc, qp, mbv, preds):
@@ -727,7 +734,8 @@ class Decoder:
                 coeff = np.zeros(64, dtype=np.int64)
                 coeff[rt8.ZIGZAG_8x8] = scanned
                 recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rt8.idct8x8(
-                    rt8.dequant8x8(coeff.reshape(8, 8), qp))
+                    rt8.dequant8x8(coeff.reshape(8, 8), qp,
+                                   ws=self._ws8(1)))
         else:
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 scanned = mbv["luma4"][idx]
@@ -735,7 +743,8 @@ class Decoder:
                 coeff = np.zeros(16, dtype=np.int64)
                 coeff[rt.ZIGZAG_4x4] = scanned
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                                            ws=self._ws4(3))
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
             rt.clip1(pred_y + recon)
         self._recon_chroma_vals(pic, mr, mc, qp, mbv, (pred_u, pred_v))
@@ -947,6 +956,25 @@ class Decoder:
             return False
         return pic.slice_id[r, c] == sid
 
+    def _activate_scaling(self):
+        """Effective weightScale lists (spec 8.5.9): PPS matrices win
+        over SPS matrices; both absent = flat (fast dequant paths)."""
+        self._w4 = self._w8 = None
+        for ps in (self.sps, self.pps):
+            if ps is not None and getattr(ps, "scaling_w4", None) is not None:
+                self._w4 = ps.scaling_w4
+                self._w8 = ps.scaling_w8
+
+    def _ws4(self, i):
+        return None if getattr(self, "_w4", None) is None else self._w4[i]
+
+    def _ws8(self, i):
+        return None if getattr(self, "_w8", None) is None else self._w8[i]
+
+    def _w00(self, i):
+        w = self._ws4(i)
+        return 16 if w is None else int(w[0, 0])
+
     def _check_bypass(self, qp: int):
         """Lossless transform-bypass MBs (High 4:4:4 Predictive with
         QP'Y == 0, spec 8.5.15 — what x264 emits at qp 0) are not
@@ -1120,7 +1148,7 @@ class Decoder:
                                   b_at, b_al, b_atl)
             coded = (cbp_luma >> b8) & 1
             d = residual_cb(b8, coded)
-            res = rt8.idct8x8(rt8.dequant8x8(d, qp))
+            res = rt8.idct8x8(rt8.dequant8x8(d, qp, ws=self._ws8(0)))
             pic.y[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + res)
 
     def _mpm(self, pic, gr, gc, sid):
@@ -1217,7 +1245,8 @@ class Decoder:
                                   b_at, b_al, b_atl)
             coeff = np.zeros(16, dtype=np.int64)
             coeff[rt.ZIGZAG_4x4] = scanned
-            res = rt.residual_block_recon(coeff.reshape(4, 4), qp)
+            res = rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                                          ws=self._ws4(0))
             y0, x0 = mr * 16 + by * 4, mc * 16 + bx * 4
             pic.y[y0:y0 + 4, x0:x0 + 4] = rt.clip1(pred + res)
 
@@ -1233,7 +1262,8 @@ class Decoder:
         dc_scan = cavlc.decode_block(r, ncv, 16)
         dc = np.zeros(16, dtype=np.int64)
         dc[rt.ZIGZAG_4x4] = dc_scan
-        dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp)
+        dc_deq = rt.hadamard4x4_inv_dequant_dc(dc.reshape(4, 4), qp,
+                                               w00=self._w00(0))
         recon = np.zeros((16, 16), dtype=np.int64)
         for idx, (by, bx) in enumerate(BLK_ORDER):
             gr, gc = mr * 4 + by, mc * 4 + bx
@@ -1247,7 +1277,8 @@ class Decoder:
             coeff = np.zeros(16, dtype=np.int64)
             coeff[rt.ZIGZAG_4x4[1:]] = ac
             res = rt.residual_block_recon(coeff.reshape(4, 4), qp,
-                                          dc=int(dc_deq[by, bx]))
+                                          dc=int(dc_deq[by, bx]),
+                                          ws=self._ws4(0))
             recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
         pic.y[y0:y0 + 16, x0:x0 + 16] = rt.clip1(pred + recon)
 
@@ -1285,14 +1316,16 @@ class Decoder:
             left = plane[y0:y0 + 8, x0 - 1] if al else np.zeros(8, dtype=np.int64)
             tl = int(plane[y0 - 1, x0 - 1]) if atl else 0
             pred = ri.predict_chroma8x8(cmode, top, left, tl, at, al, atl)
-            dc_deq = rt.hadamard2x2_inv_dequant_dc(dcs[comp], cqp)
+            dc_deq = rt.hadamard2x2_inv_dequant_dc(
+                dcs[comp], cqp, w00=self._w00(1 + comp))
             recon = np.zeros((8, 8), dtype=np.int64)
             for idx in range(4):
                 by, bx = idx // 2, idx % 2
                 coeff = np.zeros(16, dtype=np.int64)
                 coeff[rt.ZIGZAG_4x4[1:]] = acs[comp][idx]
                 res = rt.residual_block_recon(coeff.reshape(4, 4), cqp,
-                                              dc=int(dc_deq[by, bx]))
+                                              dc=int(dc_deq[by, bx]),
+                                              ws=self._ws4(1 + comp))
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = res
             plane[y0:y0 + 8, x0:x0 + 8] = rt.clip1(pred + recon)
 
@@ -1619,7 +1652,7 @@ class Decoder:
                 d = self._read_luma8x8_cavlc(r, pic, mr, mc, b8, sid,
                                              coded)
                 recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    rt8.idct8x8(rt8.dequant8x8(d, qp))
+                    rt8.idct8x8(rt8.dequant8x8(d, qp, ws=self._ws8(1)))
         else:
             for idx, (by, bx) in enumerate(BLK_ORDER):
                 gr, gc = mr * 4 + by, mc * 4 + bx
@@ -1633,7 +1666,8 @@ class Decoder:
                 coeff = np.zeros(16, dtype=np.int64)
                 coeff[rt.ZIGZAG_4x4] = scanned
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
-                    rt.residual_block_recon(coeff.reshape(4, 4), qp)
+                    rt.residual_block_recon(coeff.reshape(4, 4), qp,
+                                            ws=self._ws4(3))
         pic.y[mr * 16:mr * 16 + 16, mc * 16:mc * 16 + 16] = \
             rt.clip1(pred_y + recon)
         self._recon_chroma_inter(r, pic, mr, mc, qp, cbp_chroma,
@@ -2031,7 +2065,8 @@ class Decoder:
                 acs[comp][idx] = ac
         planes = (pic.u, pic.v)
         for comp in range(2):
-            dc_deq = rt.hadamard2x2_inv_dequant_dc(dcs[comp], cqp)
+            dc_deq = rt.hadamard2x2_inv_dequant_dc(
+                dcs[comp], cqp, w00=self._w00(4 + comp))
             recon = np.zeros((8, 8), dtype=np.int64)
             for idx in range(4):
                 by, bx = idx // 2, idx % 2
@@ -2039,7 +2074,8 @@ class Decoder:
                 coeff[rt.ZIGZAG_4x4[1:]] = acs[comp][idx]
                 recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
                     rt.residual_block_recon(coeff.reshape(4, 4), cqp,
-                                            dc=int(dc_deq[by, bx]))
+                                            dc=int(dc_deq[by, bx]),
+                                            ws=self._ws4(4 + comp))
             planes[comp][y0:y0 + 8, x0:x0 + 8] = \
                 rt.clip1(preds[comp] + recon)
 

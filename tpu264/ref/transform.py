@@ -122,11 +122,18 @@ def quant4x4(w: np.ndarray, qp: int, intra: bool) -> np.ndarray:
     return np.sign(w) * lev
 
 
-def dequant4x4(c: np.ndarray, qp: int) -> np.ndarray:
-    """Normative AC dequant d = c * V(qp%6) << (qp/6) (spec 8.5.12.1,
-    exact for flat scaling lists); int16-wrapped like libavcodec."""
-    return wrap16(np.asarray(c, dtype=np.int64) * V_TABLE[qp % 6]
-                  << (qp // 6))
+def dequant4x4(c: np.ndarray, qp: int, ws=None) -> np.ndarray:
+    """Normative AC dequant (spec 8.5.12.1); int16-wrapped like
+    libavcodec.  `ws`: [4,4] weightScale matrix (scaling lists) — the
+    flat-16 case reduces to d = c * V(qp%6) << (qp/6)."""
+    c = np.asarray(c, dtype=np.int64)
+    if ws is None:
+        return wrap16(c * V_TABLE[qp % 6] << (qp // 6))
+    ls = np.asarray(ws, dtype=np.int64) * V_TABLE[qp % 6]
+    q6 = qp // 6
+    if qp >= 24:
+        return wrap16((c * ls) << (q6 - 4))
+    return wrap16((c * ls + (1 << (3 - q6))) >> (4 - q6))
 
 
 def idct4x4(d: np.ndarray) -> np.ndarray:
@@ -174,11 +181,13 @@ def hadamard4x4_fwd_quant_dc(wdc: np.ndarray, qp: int, intra: bool = True):
     return np.sign(m) * lev
 
 
-def hadamard4x4_inv_dequant_dc(c: np.ndarray, qp: int) -> np.ndarray:
-    """Normative luma-DC inverse (spec 8.5.10): inverse Hadamard then scale."""
+def hadamard4x4_inv_dequant_dc(c: np.ndarray, qp: int,
+                               w00: int = 16) -> np.ndarray:
+    """Normative luma-DC inverse (spec 8.5.10): inverse Hadamard then
+    scale; `w00` = weightScale(0,0) of the intra luma list (16 flat)."""
     f = H4 @ np.asarray(c, dtype=np.int64) @ H4
     q6 = qp // 6
-    ls = 16 * int(_V_CLASS[qp % 6, 0])  # LevelScale4x4(qp%6, 0, 0)
+    ls = w00 * int(_V_CLASS[qp % 6, 0])  # LevelScale4x4(qp%6, 0, 0)
     if qp >= 36:
         return wrap16((f * ls) << (q6 - 6))
     return wrap16((f * ls + (1 << (5 - q6))) >> (6 - q6))
@@ -195,17 +204,21 @@ def hadamard2x2_fwd_quant_dc(wdc: np.ndarray, qp: int, intra: bool):
     return np.sign(m) * lev
 
 
-def hadamard2x2_inv_dequant_dc(c: np.ndarray, qp: int) -> np.ndarray:
-    """Normative chroma-DC inverse (spec 8.5.11, 4:2:0)."""
+def hadamard2x2_inv_dequant_dc(c: np.ndarray, qp: int,
+                               w00: int = 16) -> np.ndarray:
+    """Normative chroma-DC inverse (spec 8.5.11, 4:2:0); `w00` =
+    weightScale(0,0) of the chroma list (16 flat)."""
     f = H2 @ np.asarray(c, dtype=np.int64) @ H2
-    ls = 16 * int(_V_CLASS[qp % 6, 0])
+    ls = w00 * int(_V_CLASS[qp % 6, 0])
     return wrap16(((f * ls) << (qp // 6)) >> 5)
 
 
-def residual_block_recon(coeff: np.ndarray, qp: int, dc: int | None = None):
+def residual_block_recon(coeff: np.ndarray, qp: int,
+                         dc: int | None = None, ws=None):
     """Dequant + IDCT for one 4x4 block; `dc` (if given) overrides position
-    (0,0) with an externally scaled DC value (I16x16 / chroma paths)."""
-    d = dequant4x4(coeff, qp)
+    (0,0) with an externally scaled DC value (I16x16 / chroma paths);
+    `ws` = weightScale matrix (scaling lists)."""
+    d = dequant4x4(coeff, qp, ws=ws)
     if dc is not None:
         d[0, 0] = dc
     return idct4x4(d)

@@ -143,15 +143,21 @@ def quant8x8(w, qp: int, intra: bool):
     return np.sign(w) * lev
 
 
-def dequant8x8(c, qp: int):
-    """Normative 8x8 scaling with flat weights (spec 8.5.13.1):
-    d = (c * LS8) << (qp/6 - 2) for qp >= 12, rounded >> (2 - qp/6)
-    below — the pairing that makes quant->dequant->idct8 unity gain at
-    every frequency (verified numerically in tests/test_transform8.py)."""
+def dequant8x8(c, qp: int, ws=None):
+    """Normative 8x8 scaling (spec 8.5.13.1): flat weights reduce to
+    d = (c * V8) << (qp/6 - 2) for qp >= 12 (rounded >> below) — the
+    pairing that makes quant->dequant->idct8 unity gain at every
+    frequency (verified numerically in tests/test_transform8.py).
+    `ws` = [8,8] weightScale8x8 (scaling lists; flat = 16)."""
     from tpu264.ref.transform import wrap16
     c = np.asarray(c, dtype=np.int64)
-    v = V8_TABLE[qp % 6]
     k = qp // 6
+    if ws is not None:
+        ls = np.asarray(ws, dtype=np.int64) * V8_TABLE[qp % 6]
+        if qp >= 36:
+            return wrap16((c * ls) << (k - 6))
+        return wrap16((c * ls + (1 << (5 - k))) >> (6 - k))
+    v = V8_TABLE[qp % 6]
     if k >= 2:
         return wrap16((c * v) << (k - 2))
     return wrap16((c * v + (1 << (1 - k))) >> (2 - k))
