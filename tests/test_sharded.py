@@ -106,3 +106,20 @@ def test_tiled_cabac_overflow_fallback_byte_identical():
     te2 = TiledEncoder(cfg, make_mesh(2, gop=1))
     te2._cabac_cap = 1          # every band "overflows" -> fallback path
     assert te2.encode_sequence([frames])[0] == ref
+
+
+def test_tiled_cabac_ippp_t8_matches_single_device():
+    """CABAC IPPP with the High-profile 8x8 transform through the mesh
+    (transform_size_8x8_flag + cat-5 records in the device binarizer)
+    — byte-identical to the single-device encoder."""
+    from tpu264.media.synth import natural_frame
+    W, H = 96, 96
+    frames = [natural_frame(W, H, t) for t in range(5)]
+    cfg1 = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                         symbol_mode="CABAC", slices_per_frame=2)
+    ref_stream = Encoder(cfg1, gop_mode="ippp").encode_sequence(frames)
+    cfg2 = EncoderConfig(width=W, height=H, qp=30, intra_period=0,
+                         symbol_mode="CABAC")
+    te = TiledEncoder(cfg2, make_mesh(2, gop=1))
+    assert te.t8_mode
+    assert te.encode_sequence([frames])[0] == ref_stream

@@ -183,21 +183,18 @@ class Encoder:
             warnings.warn(
                 "inter_partitions requested but only supported for CAVLC "
                 "IPPP GOPs; encoding without partitions", stacklevel=2)
-        # High-profile 8x8 transform: auto-on for CAVLC IPPP (the CABAC
-        # binarizer and B serializer have no transform-8x8 syntax yet)
+        # High-profile 8x8 transform: auto-on for IPPP (CAVLC and CABAC;
+        # the B serializer / binarizer have no transform-8x8 syntax yet)
         self.t8_mode = (cfg.transform_8x8
                         if cfg.transform_8x8 is not None
-                        else (gop_mode == "ippp" and not self.cabac))
-        t8_forced_off = (self.t8_mode
-                         and not (gop_mode == "ippp" and not self.cabac))
-        self.t8_mode = (self.t8_mode and gop_mode == "ippp"
-                        and not self.cabac)
+                        else gop_mode == "ippp")
+        t8_forced_off = self.t8_mode and gop_mode != "ippp"
+        self.t8_mode = self.t8_mode and gop_mode == "ippp"
         if t8_forced_off and cfg.transform_8x8:
             import warnings
             warnings.warn(
-                "transform_8x8 requested but only supported for CAVLC "
-                "IPPP GOPs; encoding with the 4x4 transform",
-                stacklevel=2)
+                "transform_8x8 requested but only supported for IPPP "
+                "GOPs; encoding with the 4x4 transform", stacklevel=2)
         # explicit P weighted prediction (opt-in; fades)
         self.wp_mode = bool(cfg.weighted_pred) and gop_mode == "ippp"
         if self.t8_mode or self.wp_mode:
@@ -251,12 +248,18 @@ class Encoder:
             self._cabac_cap = cap
             self._cabac_chunk = chunk
 
+            t8m = self.t8_mode
+
             def _mk(kind):
                 p_slice = kind == "p"
                 b_slice = kind == "b"
 
                 @jax.jit
                 def f(mbd):
+                    if t8m and "t8" not in mbd:
+                        # I slices in a t8 PPS still carry the flag bit
+                        # (value 0) on every I_NxN MB
+                        mbd = dict(mbd, t8=jnp.zeros(wm * hm, bool))
                     k, a, b, v, sk = cbj.binarize_frame_j(
                         mbd, wm, hm, rows, 0, p_slice=p_slice,
                         b_slice=b_slice)
@@ -324,6 +327,9 @@ class Encoder:
         if int(counts_np.max()) > self._cabac_cap:
             from tpu264.entropy.cabac_slice import encode_frame_cabac_fast
             mb = jax_to_np(mbd)
+            if self.t8_mode and "t8" not in mb:
+                mb["t8"] = np.zeros(self.cfg.width_mbs
+                                    * self.cfg.height_mbs, bool)
             payloads, sk = encode_frame_cabac_fast(
                 mb, self.cfg.width_mbs, self.cfg.height_mbs,
                 self.sched.slice_starts.tolist(), qp,

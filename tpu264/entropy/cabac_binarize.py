@@ -30,7 +30,8 @@ import numpy as np
 
 from tpu264.coding.wavefront import BLK_ORDER
 from . import mb_syntax
-from .cabac_ctx import (CBF_CAT_OFF, LVL_CAT_OFF, SIG_CAT_OFF,
+from .cabac_ctx import (CBF_CAT_OFF, LAST8_MAP, LVL_CAT_OFF,
+                        SIG8_MAP, SIG_CAT_OFF,
                         K_SKIP, K_INTER, K_I4, K_I16, K_DIRECT)
 
 K_CTX, K_BYP, K_TERM = 0, 1, 2
@@ -40,12 +41,15 @@ class RecordGrid:
     """Preallocated [SLOTS, n] record accumulator (rows are slots so
     each append is a contiguous write; consumed slot-major)."""
 
-    # capacity: generous upper bound on slots per MB (asserted in stack)
+    # capacity: generous upper bound on slots per MB (asserted in stack);
+    # transform-8x8 MBs add a parallel cat-5 luma region (~2100 slots)
     CAP = 4200
+    CAP_T8 = 6400
 
-    def __init__(self, n: int):
+    def __init__(self, n: int, cap: int | None = None):
         self.n = n
         self.s = 0
+        self.CAP = cap or RecordGrid.CAP
         self._k = np.zeros((self.CAP, n), np.int8)
         self._a = np.zeros((self.CAP, n), np.int32)
         self._b = np.zeros((self.CAP, n), np.int32)
@@ -162,6 +166,54 @@ def _residual_group(grid: RecordGrid, scanned, mc, sig_base, last_base,
         grid.bypass((scanned[:, i] < 0).astype(np.int32), 1, on)
 
 
+def _residual_group8(grid: RecordGrid, scan64, on_res):
+    """One cat-5 (luma 8x8) residual block for all MBs: significance
+    map over 63 positions with the Table 9-43 context maps, levels on
+    426+ — no coded_block_flag (presence == the cbp bit, `on_res`)."""
+    scan64 = np.asarray(scan64, np.int64)
+    n = scan64.shape[0]
+    nz = scan64 != 0
+    pos = np.arange(64)
+    last = (nz * (pos + 1)[None, :]).max(axis=1) - 1   # >= 0 when on_res
+
+    for i in range(63):
+        on = on_res & (i <= last)
+        sig = nz[:, i]
+        grid.ctx_bin(402 + SIG8_MAP[i], sig.astype(np.int32), on)
+        grid.ctx_bin(417 + LAST8_MAP[i], (i == last).astype(np.int32),
+                     on & sig)
+
+    absv = np.abs(scan64)
+    gt1 = (absv > 1) & nz
+    eq1 = (absv == 1) & nz
+
+    def sfx(msk):
+        c = np.cumsum(msk[:, ::-1].astype(np.int64), axis=1)[:, ::-1]
+        return c - msk
+
+    num_gt1 = sfx(gt1)
+    num_eq1 = sfx(eq1)
+    ctx0 = 426 + np.where(num_gt1 > 0, 0, np.minimum(4, 1 + num_eq1))
+    ctxn = 426 + 5 + np.minimum(4, num_gt1)
+    for i in range(63, -1, -1):
+        on = on_res & nz[:, i]
+        a = np.where(on, absv[:, i] - 1, 0)
+        grid.ctx_bin(ctx0[:, i], (a > 0).astype(np.int32), on)
+        grid.ctx_run(ctxn[:, i], 1, np.minimum(a, 14) - 1, on & (a >= 2))
+        grid.ctx_bin(ctxn[:, i], 0, on & (a >= 1) & (a < 14))
+        _eg_suffix(grid, np.maximum(a - 14, 0), 0, on & (a >= 14))
+        grid.bypass((scan64[:, i] < 0).astype(np.int32), 1, on)
+
+
+def _deinterleave_scan64(luma_ac):
+    """Invert the CAVLC 8x8 interleave (spec 7.4.5.3.3): pseudo-4x4
+    block i, coeff k  ->  8x8 scan position 4k + i.  luma_ac [n,16,16]
+    -> scan64 [n, 4, 64] per 8x8 (raster 8x8 order = BLK_ORDER groups)."""
+    n = luma_ac.shape[0]
+    ps = luma_ac.reshape(n, 4, 4, 16)        # [n, n8, i, k]
+    return ps.transpose(0, 1, 3, 2).reshape(n, 4, 64)
+
+
 def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
                    p_slice: bool = False, b_slice: bool = False):
     """Vectorized twin of `cabac_slice.encode_frame_cabac` (I/P), plus
@@ -173,6 +225,7 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     """
     n = wm * hm
     sel16_raw = np.asarray(mb["sel16"]).astype(bool)
+    t8_mode = "t8" in mb
     is_direct = np.zeros(n, bool)
     if b_slice:
         btype = np.asarray(mb["btype"], np.int64)
@@ -270,7 +323,15 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     def top(g, fill=0):
         return _top(g, slice_rows, fill)
 
-    grid = RecordGrid(n)
+    grid = RecordGrid(n, cap=RecordGrid.CAP_T8 if t8_mode else None)
+    if t8_mode:
+        t8v = np.asarray(mb["t8"]).astype(bool) & is_inter & coded \
+            & (cbp_luma > 0)
+        t8_g = t8v.reshape(hm, wm)
+        t8_inc = ((av_l & left(t8_g)).astype(np.int32)
+                  + (av_t & top(t8_g)).astype(np.int32)).reshape(n)
+    else:
+        t8v = np.zeros(n, bool)
 
     # ---- mb_skip_flag (P/B slices: every MB) ----
     ns_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)).astype(np.int32)
@@ -333,6 +394,10 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
     # ---- intra 4x4 pred modes ----
     on_i4 = coded & is_i4
+    if t8_mode:
+        # transform_size_8x8_flag = 0 for I_NxN MBs (spec 7.3.5: the
+        # flag precedes the intra pred modes)
+        grid.ctx_bin(399 + t8_inc, 0, on_i4)
     for idx, (by, bx) in enumerate(BLK_ORDER):
         m = modes[:, idx]
         p = mpm[mb_r * 4 + by, mb_c * 4 + bx]
@@ -412,6 +477,13 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     grid.ctx_bin(81 + ccl2 + 2 * cct2, (cc - 1).clip(0).astype(np.int32),
                  on_cbp & (cc != 0))
 
+    if t8_mode:
+        # transform_size_8x8_flag after cbp for inter MBs with luma
+        # residual (our t8 selection covers 16x16 MBs only, but the
+        # flag is present for any qualifying inter MB)
+        grid.ctx_bin(399 + t8_inc, t8v.astype(np.int32),
+                     coded & is_inter & (cbp_luma > 0))
+
     # ---- mb_qp_delta (always 0 in this encoder; prev_nz stays 0) ----
     grid.ctx_bin(60, 0, coded & (sel16 | (cbp > 0)))
 
@@ -425,6 +497,10 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     l4_reg = (luma_ac != 0).any(2) \
         & (((cbp_luma[:, None] >> bit_of_idx[None, :]) & 1) > 0)
     l4 = np.where(sel16[:, None], l4_i16, l4_reg) & coded[:, None]
+    if t8_mode:
+        bit8 = ((cbp_luma[:, None] >> (np.arange(16) // 4)[None, :])
+                & 1) > 0
+        l4 = np.where(t8v[:, None], bit8, l4)
     cbf_l4_g = np.zeros((hm * 4, wm * 4), np.int32)
     for idx, (by, bx) in enumerate(BLK_ORDER):
         cbf_l4_g[mb_r * 4 + by, mb_c * 4 + bx] = l4[:, idx]
@@ -475,11 +551,20 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
             av_b = av_t.reshape(-1)[mb_r * wm + mb_c]
         ca = np.where(av_a, cbf_l4_g[g4r, np.maximum(g4c - 1, 0)], ic)
         cb = np.where(av_b, cbf_l4_g[np.maximum(g4r - 1, 0), g4c], ic)
-        coded_blk = coded & (sel16 & (cbp_luma > 0)
-                             | (~sel16 & ((cbp_luma >> (idx // 4)) & 1 > 0)))
+        coded_blk = coded & ~t8v & (
+            sel16 & (cbp_luma > 0)
+            | (~sel16 & ((cbp_luma >> (idx // 4)) & 1 > 0)))
         _residual_group(grid, lac16[:, idx], mc_l, sig_b, last_b, lvl_b,
                         85 + cbf_off + ca + 2 * cb, coded_blk,
                         cdc_inc=False)
+
+    if t8_mode:
+        # cat-5 8x8 residual for transform-8x8 MBs (their 4x4 groups
+        # above are invalid, so coding order stays correct)
+        scan64 = _deinterleave_scan64(luma_ac)
+        for b8 in range(4):
+            _residual_group8(grid, scan64[:, b8],
+                             t8v & (((cbp_luma >> b8) & 1) > 0))
 
     # chroma DC (cat 3, 4 coeffs)
     for comp in range(2):

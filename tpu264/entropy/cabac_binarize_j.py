@@ -28,6 +28,7 @@ from tpu264.coding import mvpred
 from .cabac_ctx import (CBF_CAT_OFF, LVL_CAT_OFF, SIG_CAT_OFF,
                         K_SKIP, K_INTER, K_I4, K_I16, K_DIRECT)
 from .cabac_binarize import K_CTX, K_BYP, K_TERM
+from .cabac_ctx import LAST8_MAP, SIG8_MAP
 from .device_cavlc import (_compute_cbp_j, _mpm_grid_j, _neighbor_mvs_j)
 
 
@@ -173,6 +174,70 @@ def _residual_group_j(grid: RecordRows, scanned, mc, sig_base, last_base,
     grid.vs.append(rows_v.reshape(96, n))
 
 
+def _residual_group8_j(grid: RecordRows, scan64, on_res):
+    """Blocked twin of cabac_binarize._residual_group8: cat-5 luma 8x8
+    (63 sig/last rows + 64 x 6 level rows, no coded_block_flag)."""
+    scan64 = jnp.asarray(scan64, jnp.int32)
+    n = scan64.shape[0]
+    nz = scan64 != 0
+    pos = jnp.arange(64)
+    last = (nz * (pos + 1)[None, :]).max(axis=1) - 1
+
+    i_arr = np.arange(63)
+    on_i = on_res[None, :] & (i_arr[:, None] <= last[None, :])
+    sig = nz.T[:63]
+    sig_a = jnp.broadcast_to(
+        jnp.asarray(402 + np.asarray(SIG8_MAP), jnp.int32)[:, None],
+        (63, n))
+    last_a = jnp.broadcast_to(
+        jnp.asarray(417 + np.asarray(LAST8_MAP[:63]), jnp.int32)[:, None],
+        (63, n))
+    is_last = (i_arr[:, None] == last[None, :])
+    a_blk = jnp.stack([sig_a, last_a], 1).reshape(126, n)
+    b_blk = jnp.stack([sig.astype(jnp.int32) | 2,
+                       is_last.astype(jnp.int32) | 2], 1).reshape(126, n)
+    v_blk = jnp.stack([on_i, on_i & sig], 1).reshape(126, n)
+    grid.put_block(K_CTX, a_blk, b_blk, v_blk)
+
+    absv = jnp.abs(scan64)
+    gt1 = (absv > 1) & nz
+    eq1 = (absv == 1) & nz
+
+    def sfx(msk):
+        c = jnp.cumsum(msk[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
+        return c - msk
+
+    num_gt1 = sfx(gt1)
+    num_eq1 = sfx(eq1)
+    ctx0 = 426 + jnp.where(num_gt1 > 0, 0, jnp.minimum(4, 1 + num_eq1))
+    ctxn = 426 + 5 + jnp.minimum(4, num_gt1)
+    order = np.arange(63, -1, -1)
+    onT = on_res[None, :] & nz.T[order]
+    a_abs = jnp.where(onT, absv.T[order] - 1, 0)
+    ctx0T = ctx0.T[order]
+    ctxnT = ctxn.T[order]
+    egp, egpb, egs, egsb = _eg_parts(jnp.maximum(a_abs - 14, 0), 0)
+    sgn = (scan64.T[order] < 0).astype(jnp.int32)
+    run_cnt = jnp.minimum(a_abs, 14) - 1
+    rows_a = jnp.stack([ctx0T, ctxnT, ctxnT, egp, egs, sgn], 1)
+    rows_b = jnp.stack([(a_abs > 0).astype(jnp.int32) | 2,
+                        1 | (run_cnt << 1),
+                        jnp.full_like(a_abs, 2),
+                        egpb, egsb, jnp.ones_like(a_abs)], 1)
+    rows_v = jnp.stack([onT,
+                        onT & (a_abs >= 2) & (run_cnt > 0),
+                        onT & (a_abs >= 1) & (a_abs < 14),
+                        onT & (a_abs >= 14) & (egpb > 0),
+                        onT & (a_abs >= 14) & (egsb > 0),
+                        onT], 1)
+    rows_k = jnp.stack([jnp.full_like(a_abs, K_CTX)] * 3
+                       + [jnp.full_like(a_abs, K_BYP)] * 3, 1)
+    grid.ks.append(rows_k.reshape(64 * 6, n))
+    grid.as_.append(rows_a.reshape(64 * 6, n))
+    grid.bs.append(rows_b.reshape(64 * 6, n))
+    grid.vs.append(rows_v.reshape(64 * 6, n))
+
+
 def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
                      p_slice: bool = False, b_slice: bool = False):
     """Device twin of `cabac_binarize.binarize_frame`.
@@ -182,6 +247,7 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     the numpy twin (tests assert record + payload equality)."""
     n = wm * hm
     sel16_raw = jnp.asarray(mb["sel16"]).astype(bool)
+    t8_mode = "t8" in mb
     is_direct = jnp.zeros(n, bool)
     if b_slice:
         btype = jnp.asarray(mb["btype"], jnp.int32)
@@ -282,6 +348,14 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
 
     grid = RecordRows(n)
     ones = jnp.ones(n, bool)
+    if t8_mode:
+        t8v = jnp.asarray(mb["t8"]).astype(bool) & is_inter & coded \
+            & (cbp_luma > 0)
+        t8_g = t8v.reshape(hm, wm)
+        t8_inc = ((av_l & left(t8_g)).astype(jnp.int32)
+                  + (av_t & top(t8_g)).astype(jnp.int32)).reshape(n)
+    else:
+        t8v = jnp.zeros(n, bool)
 
     # ---- mb_skip_flag ----
     ns_l = (av_l & (left(kind_g, K_SKIP) != K_SKIP)).astype(jnp.int32)
@@ -340,6 +414,8 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
 
     # ---- intra 4x4 pred modes (16 x 4 rows) ----
     on_i4 = coded & is_i4
+    if t8_mode:
+        grid.ctx_bin(399 + t8_inc, 0, on_i4)   # I_NxN: 4x4 transform
     for idx, (by, bx) in enumerate(BLK_ORDER):
         m = modes[:, idx]
         p = mpm[mb_r * 4 + by, mb_c * 4 + bx]
@@ -424,6 +500,10 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     grid.ctx_bin(81 + ccl2 + 2 * cct2, (cc - 1).clip(0).astype(jnp.int32),
                  on_cbp & (cc != 0))
 
+    if t8_mode:
+        grid.ctx_bin(399 + t8_inc, t8v.astype(jnp.int32),
+                     coded & is_inter & (cbp_luma > 0))
+
     # ---- mb_qp_delta (always 0 in this encoder) ----
     grid.ctx_bin(60, 0, coded & (sel16 | (cbp > 0)))
 
@@ -435,6 +515,10 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     l4_reg = (luma_ac != 0).any(2) \
         & (((cbp_luma[:, None] >> bit_of_idx[None, :]) & 1) > 0)
     l4 = jnp.where(sel16[:, None], l4_i16, l4_reg) & coded[:, None]
+    if t8_mode:
+        bit8 = ((cbp_luma[:, None] >> jnp.asarray(bit_of_idx)[None, :])
+                & 1) > 0
+        l4 = jnp.where(t8v[:, None], bit8, l4)
     cbf_l4_g = jnp.zeros((hm * 4, wm * 4), jnp.int32)
     for idx, (by, bx) in enumerate(BLK_ORDER):
         cbf_l4_g = cbf_l4_g.at[mb_r * 4 + by, mb_c * 4 + bx].set(
@@ -485,12 +569,22 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
         av_b = jnp.ones(n, bool) if by > 0 else av_t_flat
         ca = jnp.where(av_a, cbf_l4_g[g4r, np.maximum(g4c - 1, 0)], ic)
         cb = jnp.where(av_b, cbf_l4_g[np.maximum(g4r - 1, 0), g4c], ic)
-        coded_blk = coded & (sel16 & (cbp_luma > 0)
-                             | (~sel16
-                                & ((cbp_luma >> (idx // 4)) & 1 > 0)))
+        coded_blk = coded & ~t8v & (sel16 & (cbp_luma > 0)
+                                    | (~sel16
+                                       & ((cbp_luma >> (idx // 4))
+                                          & 1 > 0)))
         _residual_group_j(grid, lac16[:, idx], mc_l, sig_b, last_b, lvl_b,
                           85 + cbf_off + ca + 2 * cb, coded_blk,
                           cdc_inc=False)
+
+    if t8_mode:
+        # cat-5 8x8 residual for transform-8x8 MBs (their 4x4 groups
+        # above are invalid, so coding order stays correct)
+        ps = luma_ac.reshape(n, 4, 4, 16)
+        scan64 = ps.transpose(0, 1, 3, 2).reshape(n, 4, 64)
+        for b8 in range(4):
+            _residual_group8_j(grid, scan64[:, b8],
+                               t8v & (((cbp_luma >> b8) & 1) > 0))
 
     # chroma DC (cat 3)
     ic2 = ic.reshape(hm, wm)

@@ -119,9 +119,8 @@ class TiledEncoder:
         # High-profile 8x8 transform: same auto rule as Encoder
         self.t8_mode = (cfg.transform_8x8
                         if cfg.transform_8x8 is not None
-                        else (self.gop_mode == "ippp" and not self.cabac))
-        self.t8_mode = (self.t8_mode and self.gop_mode == "ippp"
-                        and not self.cabac)
+                        else self.gop_mode == "ippp")
+        self.t8_mode = self.t8_mode and self.gop_mode == "ippp"
         if self.t8_mode:
             self.sps, self.pps, self.cabac = build_params(
                 cfg, self.gop_mode, t8=True)
@@ -279,6 +278,8 @@ class TiledEncoder:
             for the host C replay."""
             if self.cabac:
                 from tpu264.entropy import cabac_binarize_j as cbj
+                if self.t8_mode and "t8" not in mbd:
+                    mbd = dict(mbd, t8=jnp.zeros(band_n, bool))
                 k, a, b, v, _ = cbj.binarize_frame_j(
                     mbd, wm, self.band_hm, rows, 0,
                     p_slice=(kind == "p"), b_slice=(kind == "b"))
@@ -424,6 +425,8 @@ class TiledEncoder:
                                 pad_band(r1[2], _PAD // 2), cz, qpg)
         mbd = reorder_wave_outputs_j(self.band_sched, ys)
         mb = {k2: np.asarray(v2) for k2, v2 in mbd.items()}
+        if self.t8_mode and "t8" not in mb:
+            mb["t8"] = np.zeros(self.band_hm * wm, bool)
         payloads, _ = encode_frame_cabac_fast(
             mb, wm, bh, [0], qpg,
             p_slice=(kind == "p"), b_slice=(kind == "b"))
