@@ -184,3 +184,53 @@ def test_weighted_prediction_emission_fade():
                 assert np.array_equal(np.asarray(enc.recons[i][j]),
                                       got[i][j]), ("own", wp, i, j)
     assert sizes[True] < 0.8 * sizes[False], sizes
+
+
+def test_mmco5_reset_hand_built():
+    """MMCO 5 (spec 8.2.5.4.5): unmark ALL references; the MMCO5
+    picture is thereafter treated as frame_num 0 and the following
+    slices restart frame_num at 1.  x264 never emits MMCO 5, so the
+    stream is hand-built frame-by-frame with our encoder (VERDICT r4
+    task #9); libavcodec is the external conformance oracle."""
+    from tpu264.bits import nal
+
+    cfg = EncoderConfig(width=W, height=H, qp=28, search_range=8,
+                        intra_period=0)
+    enc = Encoder(cfg)
+    frames = [synth_frame(W, H, t) for t in range(4)]
+    out = [nal.make_nalu(3, nal.NAL_SPS, enc.sps.write_rbsp()),
+           nal.make_nalu(3, nal.NAL_PPS, enc.pps.write_rbsp())]
+    enc.recons = []
+    nalus, rec = enc.encode_intra_frame(*frames[0], frame_num=0)
+    out += nalus
+    enc.recons.append(rec)
+    nalus, rec = enc.encode_p_frame(*frames[1], enc.recons[-1],
+                                    frame_num=1)
+    out += nalus
+    enc.recons.append(rec)
+    # MMCO5 on frame 2: after marking, the DPB holds ONLY this picture
+    # (as frame_num 0) — frame 3 must restart at frame_num 1
+    nalus, rec = enc.encode_p_frame(*frames[2], enc.recons[-1],
+                                    frame_num=2, mmco=((5,),))
+    out += nalus
+    enc.recons.append(rec)
+    nalus, rec = enc.encode_p_frame(*frames[3], enc.recons[-1],
+                                    frame_num=1)
+    out += nalus
+    enc.recons.append(rec)
+    stream = b"".join(out)
+
+    got = decode_annexb(stream)
+    assert len(got) == 4
+    for i in range(4):
+        for j in range(3):
+            np.testing.assert_array_equal(
+                got[i][j], np.asarray(enc.recons[i][j]), err_msg=f"own {i}")
+    want, errors = lavc_decode(stream)
+    assert errors == []
+    assert len(want) == 4
+    for i in range(4):
+        for j in range(3):
+            np.testing.assert_array_equal(
+                want[i][j], np.asarray(enc.recons[i][j]),
+                err_msg=f"lavc {i} plane {j}")

@@ -120,7 +120,13 @@ class SliceHeader:
                 s.put(0, 1)               # no_output_of_prior_pics_flag
                 s.put(0, 1)               # long_term_reference_flag
             else:
-                s.put(0, 1)               # adaptive_ref_pic_marking_mode_flag
+                s.put(1 if self.mmco else 0, 1)
+                for op in self.mmco:      # memory_management_control ops
+                    write_ue(s, op[0])
+                    for arg in op[1:]:
+                        write_ue(s, arg)
+                if self.mmco:
+                    write_ue(s, 0)        # end of MMCO commands
         if pps.entropy_coding_mode_flag and self.slice_type != SLICE_I:
             write_ue(s, 0)                # cabac_init_idc
         write_se(s, self.slice_qp - pps.pic_init_qp)

@@ -950,7 +950,8 @@ class Encoder:
 
     def encode_p_frame(self, y, u, v, ref, frame_num: int,
                        qp: int | None = None, poc_lsb: int = 0,
-                       reorder_l0: tuple = (), defer: bool = False):
+                       reorder_l0: tuple = (), mmco: tuple = (),
+                       defer: bool = False):
         """Encode one P frame against `ref` = (y, u, v) recon planes.
 
         `defer`: return (finish, recon) instead of (nalus, recon) —
@@ -986,6 +987,7 @@ class Encoder:
                 is_idr=False,
                 nal_ref_idc=2,
                 reorder_l0=reorder_l0,
+                mmco=mmco,
                 pred_weights=pred_weights,
             )
             return hdr.write_rbsp_head(self.sps, self.pps)

@@ -252,8 +252,13 @@ class Decoder:
                     self._dpb = [r for r in self._dpb
                                  if r.short_term
                                  or r.long_term_idx <= op[1] - 1]
-                elif op[0] == 5:           # unmark everything
-                    raise NotImplementedError("MMCO 5 (reset)")
+                elif op[0] == 5:           # reset: unmark ALL refs
+                    # spec 8.2.5.4.5: every reference unmarked; the
+                    # current picture is inferred to have frame_num 0
+                    # and its POC shifted so PicOrderCnt becomes 0
+                    self._dpb.clear()
+                    rp.frame_num = 0
+                    rp.poc = 0
                 elif op[0] == 6:           # current -> long-term idx
                     self._dpb = [r for r in self._dpb
                                  if r.short_term
