@@ -88,3 +88,55 @@ def test_cabac_b_hierarchical():
 def test_closed_gop_periodic_idr():
     enc = _roundtrip(nb=2, qp=28, slices=1, nfr=10, period=2)
     assert sum(s.slice_type == "IDR" for s in enc.stats) >= 2
+
+
+def test_b_partitions_chosen_and_bit_exact():
+    """B 16x8/8x16 partitions (Table 7-14 mb_type 4..21): content with
+    opposing half-MB motion must make the encoder pick partitioned B
+    MBs on non-reference Bs, and the streams stay bit-exact in both
+    entropy coders (decoder + libavcodec)."""
+    import jax.numpy as jnp
+    from tpu264.coding.encoder import jax_to_np
+    from tpu264.coding.intra_frame import reorder_wave_outputs_j
+
+    W, H = 64, 48
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 255, (H + 32, W + 64)).astype(np.uint8)
+    frames = []
+    for t in range(5):
+        y = np.zeros((H, W), np.uint8)
+        # top half pans right, bottom half pans left (8 px / frame)
+        y[:H // 2] = base[:H // 2, 4 * t:4 * t + W]
+        y[H // 2:] = base[16 + H // 2:16 + H, 32 - 4 * t:32 - 4 * t + W]
+        u = np.full((H // 2, W // 2), 120, np.uint8)
+        v = np.full((H // 2, W // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    for mode in ("CAVLC", "CABAC"):
+        cfg = EncoderConfig(width=W, height=H, qp=30, symbol_mode=mode,
+                            intra_period=0, num_b_frames=1)
+        enc = Encoder(cfg)
+        caps = []
+        orig = enc._encode_b
+
+        def wrap(*args, orig=orig, enc=enc, caps=caps):
+            out, ys = orig(*args)
+            caps.append(jax_to_np(reorder_wave_outputs_j(enc.sched, ys)))
+            return out, ys
+
+        enc._encode_b = wrap
+        stream = enc.encode_sequence(frames)
+        n_part = sum(int((c["btype"] == 5).sum()) for c in caps)
+        assert n_part > 0, f"{mode}: no partitioned B MBs chosen"
+        got = decode_annexb(stream)
+        for i in range(len(frames)):
+            for j in range(3):
+                np.testing.assert_array_equal(
+                    got[i][j], np.asarray(enc.recons[i][j]),
+                    err_msg=f"{mode} own frame {i}")
+        ff, errors = lavc_decode(stream)
+        assert errors == []
+        for i in range(len(frames)):
+            for j in range(3):
+                np.testing.assert_array_equal(
+                    ff[i][j], np.asarray(enc.recons[i][j]),
+                    err_msg=f"{mode} lavc frame {i}")

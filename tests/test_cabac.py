@@ -66,6 +66,19 @@ def test_cabac_multi_slice():
     _assert_lavc_bit_exact(enc, frames, enc.encode_sequence(frames))
 
 
+def test_cabac_ippp_partitions_multi_slice():
+    """16x8/8x16 partitions under CABAC (Table 9-37 P mb_type tree +
+    per-partition mvd contexts, spec 9.3.3.1.1.7) across slice
+    boundaries (per-slice context resets)."""
+    cfg = EncoderConfig(width=80, height=64, qp=30, symbol_mode="CABAC",
+                        intra_period=0, slices_per_frame=2)
+    enc = Encoder(cfg)
+    assert enc.partitions and enc.t8_mode
+    frames = [synth_frame(80, 64, 3 * t) for t in range(4)]
+    stream = enc.encode_sequence(frames)
+    _assert_lavc_bit_exact(enc, frames, stream)
+
+
 def test_cabac_random_chroma_stress():
     """Random planes drive deep engine-state excursions (the transIdxLPS
     state-28 bug only manifested on content like this)."""

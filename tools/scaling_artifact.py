@@ -41,7 +41,8 @@ def main() -> None:
         return Encoder(cfg, gop_mode="ippp")
 
     frames = [synth_frame(W, H, t) for t in range(N_FRAMES)]
-    res = scaling_harness(mk, frames, INTRA_PERIOD, host_counts=(1, 2, 4))
+    res = scaling_harness(mk, frames, INTRA_PERIOD, host_counts=(1, 2, 4),
+                          reps=5)
     out = {
         "workload": f"{W}x{H} IPPP, IntraPeriod {INTRA_PERIOD}, "
                     f"{N_FRAMES} frames (12 closed GOPs)",

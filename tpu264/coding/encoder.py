@@ -169,32 +169,31 @@ class Encoder:
         self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
         self._encode_b = None
-        # 16x8/8x16 partitions: auto-on for CAVLC IPPP (CABAC binarize
-        # and the B engines still code 16x16-only)
+        # 16x8/8x16 partitions: auto-on for IPPP (CAVLC and CABAC; the
+        # B engines still code 16x16-only)
         self.partitions = (cfg.inter_partitions
                            if cfg.inter_partitions is not None
-                           else (gop_mode == "ippp" and not self.cabac))
-        forced_off = (self.partitions
-                      and not (gop_mode == "ippp" and not self.cabac))
-        self.partitions = (self.partitions and gop_mode == "ippp"
-                           and not self.cabac)
+                           else gop_mode == "ippp")
+        forced_off = self.partitions and gop_mode != "ippp"
+        self.partitions = self.partitions and gop_mode == "ippp"
         if forced_off and cfg.inter_partitions:
             import warnings
             warnings.warn(
-                "inter_partitions requested but only supported for CAVLC "
+                "inter_partitions requested but only supported for "
                 "IPPP GOPs; encoding without partitions", stacklevel=2)
-        # High-profile 8x8 transform: auto-on for IPPP (CAVLC and CABAC;
-        # the B serializer / binarizer have no transform-8x8 syntax yet)
+        # High-profile 8x8 transform: auto-on for IPPP and B GOPs (both
+        # entropy coders); selection runs on P/anchor MBs, B slices
+        # emit transform_size_8x8_flag = 0 (engines are 4x4-only there)
         self.t8_mode = (cfg.transform_8x8
                         if cfg.transform_8x8 is not None
-                        else gop_mode == "ippp")
-        t8_forced_off = self.t8_mode and gop_mode != "ippp"
-        self.t8_mode = self.t8_mode and gop_mode == "ippp"
+                        else gop_mode in ("ippp", "bgop"))
+        t8_forced_off = self.t8_mode and gop_mode not in ("ippp", "bgop")
+        self.t8_mode = self.t8_mode and gop_mode in ("ippp", "bgop")
         if t8_forced_off and cfg.transform_8x8:
             import warnings
             warnings.warn(
-                "transform_8x8 requested but only supported for IPPP "
-                "GOPs; encoding with the 4x4 transform", stacklevel=2)
+                "transform_8x8 requested but only supported for IPPP / "
+                "B GOPs; encoding with the 4x4 transform", stacklevel=2)
         # explicit P weighted prediction (opt-in; fades)
         self.wp_mode = bool(cfg.weighted_pred) and gop_mode == "ippp"
         if self.t8_mode or self.wp_mode:
@@ -205,10 +204,15 @@ class Encoder:
                 self.sched, search_range=cfg.search_range,
                 partitions=self.partitions, t8=self.t8_mode,
                 weighted=self.wp_mode)
+        # B 16x8/8x16 partitions: auto-on for B GOPs (restricted to
+        # NON-REFERENCE Bs at encode time — see b_frame docstring)
+        self.b_partitions = (gop_mode == "bgop"
+                             and cfg.inter_partitions is not False)
         if gop_mode == "bgop":
             from .b_frame import make_b_encoder
             self._encode_b = make_b_encoder(
-                self.sched, search_range=cfg.search_range)
+                self.sched, search_range=cfg.search_range,
+                partitions=self.b_partitions)
         # in-loop deblocking: idc 0 (on) single-slice, idc 2 (slice-local)
         # multi-slice, idc 1 (off) when disabled
         self.deblock_idc = (1 if not cfg.deblock
@@ -392,7 +396,38 @@ class Encoder:
             t8r = jnp.repeat(jnp.repeat(t8_grid, 4, 0), 4, 1)
             tc = jnp.where(t8r, tc8, tc)
         intra_mb = (~is_inter).reshape(hm, wm)
-        if b_motion is not None:
+        if b_motion is not None and len(b_motion) > 4:
+            # partitioned B: per-4x4 two-list grids (part1 covers the
+            # bottom rows of a 16x8 / right cols of an 8x16 MB)
+            (mv0, use0, mv1, use1, bpt, mv0b, use0b, mv1b,
+             use1b) = b_motion
+
+            def up(a):
+                return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+
+            bt4 = up(bpt.astype(jnp.int32).reshape(hm, wm))
+            rsel = (jnp.arange(hm * 4) % 4 >= 2)[:, None]
+            csel = (jnp.arange(wm * 4) % 4 >= 2)[None, :]
+            p1cell = jnp.where(bt4 == 1, rsel,
+                               jnp.where(bt4 == 2, csel, False))
+
+            def list_grids(mvp0, up0, mvp1, up1, pid):
+                m0 = up(jnp.where((up0 & is_inter)[:, None], mvp0, 0)
+                        .reshape(hm, wm, 2).astype(jnp.int32))
+                m1 = up(jnp.where((up1 & is_inter)[:, None], mvp1, 0)
+                        .reshape(hm, wm, 2).astype(jnp.int32))
+                r0 = up(jnp.where(up0 & is_inter, pid, -1)
+                        .reshape(hm, wm).astype(jnp.int32))
+                r1 = up(jnp.where(up1 & is_inter, pid, -1)
+                        .reshape(hm, wm).astype(jnp.int32))
+                return (jnp.where(p1cell[..., None], m1, m0),
+                        jnp.where(p1cell, r1, r0))
+
+            mvl0, refl0 = list_grids(mv0, use0, mv0b, use0b, 0)
+            mvl1, refl1 = list_grids(mv1, use1, mv1b, use1b, 1)
+            mv_grid = jnp.stack([mvl0, mvl1], axis=2)
+            ref_grid = jnp.stack([refl0, refl1], axis=2)
+        elif b_motion is not None:
             mv0, use0, mv1, use1 = b_motion
             mv_grid = jnp.stack(
                 [jnp.where(use0[:, None], mv0, 0),
@@ -780,11 +815,14 @@ class Encoder:
             colzero = jnp.zeros(n_mbs, dtype=bool)
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
-        dev_out, ys = self._encode_b(yd, ud, vd,
-                                     ref0[0], ref0[1], ref0[2],
-                                     ref1[0], ref1[1], ref1[2],
-                                     jnp.asarray(colzero),
-                                     np.int32(qp))
+        args = (yd, ud, vd, ref0[0], ref0[1], ref0[2],
+                ref1[0], ref1[1], ref1[2], jnp.asarray(colzero),
+                np.int32(qp))
+        if self.b_partitions:
+            # partitions only on non-reference Bs (per-MB colZeroFlag
+            # plumbing needs MB-constant colocated motion)
+            args += (jnp.asarray(not is_ref),)
+        dev_out, ys = self._encode_b(*args)
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
 
         def hdr_sink(s):
@@ -802,9 +840,20 @@ class Encoder:
 
         def b_motion_of(mb):
             btype = mb["btype"]
-            is_inter = btype < 4
+            is_inter = btype != 4
             use0 = mb["use0"].astype(bool)
             use1 = mb["use1"].astype(bool)
+            if "bptype" in mb:
+                cu0 = jnp.asarray(np.array([1, 0, 1], np.bool_))
+                cu1 = jnp.asarray(np.array([0, 1, 1], np.bool_))
+                partd = btype == 5
+                c1 = mb["c1"].astype(jnp.int32)
+                use0b = jnp.where(partd, cu0[c1], use0)
+                use1b = jnp.where(partd, cu1[c1], use1)
+                return (is_inter,
+                        (mb["mv0"], use0, mb["mv1"], use1,
+                         mb["bptype"], mb["mv0b"], use0b,
+                         mb["mv1b"], use1b))
             return (is_inter,
                     (mb["mv0"], use0, mb["mv1"], use1))
 
@@ -820,6 +869,8 @@ class Encoder:
 
         if self.cabac:
             mbd = reorder_wave_outputs_j(self.sched, ys)
+            if self.t8_mode and "t8" not in mbd:
+                mbd = dict(mbd, t8=jnp.zeros(n_mbs, bool))
             payloads, _ = self._cabac_payloads(mbd, qp, "b")
             note_colzero(mbd, jnp)
             nalus = []
@@ -840,6 +891,8 @@ class Encoder:
                          dev_out["recon_v"].astype(jnp.uint8))
             return nalus, recon
         mbd = reorder_wave_outputs_j(self.sched, ys)
+        if self.t8_mode and "t8" not in mbd:
+            mbd = dict(mbd, t8=jnp.zeros(n_mbs, bool))
         words, nbits, skipped_d = self._ser_b(mbd)
         note_colzero(mbd, jnp)
         nbits_np = np.asarray(nbits)
@@ -999,10 +1052,15 @@ class Encoder:
                 mbd["is_inter"].astype(bool)
                 & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
             if cfg.deblock:
+                pm = None
+                if "ptype" in mbd:
+                    pm = (mbd["ptype"].astype(jnp.int32),
+                          mbd["mv"].astype(jnp.int32),
+                          mbd["mv2"].astype(jnp.int32))
                 recon = self._apply_deblock_j(
                     dev_out, mbd, qp,
                     is_inter=mbd["is_inter"].astype(bool),
-                    mv=mbd["mv"].astype(jnp.int32))
+                    mv=mbd["mv"].astype(jnp.int32), p_motion=pm)
             else:
                 recon = (dev_out["recon_y"].astype(jnp.uint8),
                          dev_out["recon_u"].astype(jnp.uint8),

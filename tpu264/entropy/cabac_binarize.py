@@ -227,14 +227,32 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     sel16_raw = np.asarray(mb["sel16"]).astype(bool)
     t8_mode = "t8" in mb
     is_direct = np.zeros(n, bool)
+    b_parts = b_slice and "bptype" in mb
     if b_slice:
         btype = np.asarray(mb["btype"], np.int64)
-        is_inter = btype < 4
+        is_inter = btype != 4
         is_direct = btype == 3
+        partd = btype == 5
         use0 = np.asarray(mb["use0"]).astype(bool)   # final (incl. direct)
         use1 = np.asarray(mb["use1"]).astype(bool)
-        exp0 = (btype == 0) | (btype == 2)           # explicit-mvd lists
-        exp1 = (btype == 1) | (btype == 2)
+        if b_parts:
+            bptype = np.asarray(mb["bptype"], np.int64)
+            bc0 = np.asarray(mb["c0"], np.int64)
+            bc1 = np.asarray(mb["c1"], np.int64)
+            cu0 = np.array([1, 0, 1], bool)
+            cu1 = np.array([0, 1, 1], bool)
+            use0b = np.where(partd, cu0[bc1], use0)
+            use1b = np.where(partd, cu1[bc1], use1)
+            exp0 = np.where(partd, cu0[bc0],
+                            (btype == 0) | (btype == 2))
+            exp1 = np.where(partd, cu1[bc0],
+                            (btype == 1) | (btype == 2))
+            exp0b = partd & cu0[bc1]
+            exp1b = partd & cu1[bc1]
+        else:
+            bptype = np.zeros(n, np.int64)
+            exp0 = (btype == 0) | (btype == 2)       # explicit-mvd lists
+            exp1 = (btype == 1) | (btype == 2)
     else:
         is_inter = (np.asarray(mb["is_inter"]).astype(bool) if p_slice
                     else np.zeros(n, bool))
@@ -273,21 +291,56 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
                                         nbm["mv_c"], nbm["ref_c"])
             return mv - pred
 
+    parts_mode = p_slice and "ptype" in mb
+    ptype = np.zeros(n, np.int64)
+    mvd1 = np.zeros((n, 2), np.int64)
     if p_slice:
         mv = np.asarray(mb["mv"], np.int64)
-        mvds[0] = list_mvd(mv, is_inter)
+        if parts_mode:
+            # 16x8 / 8x16 partitions: per-partition mvds from the exact
+            # spec-8.4.1.3 derivation shared with the CAVLC serializer
+            # (single source of truth; jnp runs fine on host arrays)
+            from .device_cavlc import _partition_mvds_j
+            ptype = np.asarray(mb["ptype"], np.int64)
+            d0, d1, _ = _partition_mvds_j(mb, wm, hm, slice_rows)
+            mvds[0] = np.asarray(d0, np.int64)
+            mvd1 = np.asarray(d1, np.int64)
+        else:
+            mvds[0] = list_mvd(mv, is_inter)
         uses[0] = is_inter
         mv_skip = np.asarray(mb["mv_skip"], np.int64)
-        skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
+        skipped = is_inter & (ptype == 0) \
+            & (mv == mv_skip).all(axis=1) & (cbp == 0)
     elif b_slice:
         # predictor maps use the FINAL use flags / motion (direct MBs
         # participate as neighbors); mvd is coded for explicit lists only
-        mvds[0] = np.where(exp0[:, None],
-                           list_mvd(np.asarray(mb["mv0"], np.int64), use0),
-                           0)
-        mvds[1] = np.where(exp1[:, None],
-                           list_mvd(np.asarray(mb["mv1"], np.int64), use1),
-                           0)
+        if b_parts:
+            from .device_cavlc import (_cell_grids2_j,
+                                       _partition_mvds_core_j)
+            bmvd = []
+            for mv_key, mvb_key, u_p0, u_p1, e_p0, e_p1 in (
+                    ("mv0", "mv0b", use0, use0b, exp0, exp0b),
+                    ("mv1", "mv1b", use1, use1b, exp1, exp1b)):
+                mv_p0 = np.asarray(mb[mv_key], np.int64)
+                mv_p1 = np.asarray(mb[mvb_key], np.int64)
+                tr, rtr, bl_, rbl, br, rbr = _cell_grids2_j(
+                    bptype, mv_p0, mv_p1, u_p0, u_p1, is_inter, wm, hm)
+                p0_ref = np.where(is_inter & u_p0, 0, mvpred.INTRA)
+                d0, d1, _ = _partition_mvds_core_j(
+                    bptype, mv_p0, mv_p1, p0_ref,
+                    tr, rtr, bl_, rbl, br, rbr, wm, hm, slice_rows)
+                d0 = np.asarray(d0, np.int64)
+                d1 = np.asarray(d1, np.int64)
+                bmvd.append((np.where(e_p0[:, None], d0, 0),
+                             np.where(e_p1[:, None], d1, 0)))
+            mvds[0], mvds[1] = bmvd[0][0], bmvd[1][0]
+        else:
+            mvds[0] = np.where(
+                exp0[:, None],
+                list_mvd(np.asarray(mb["mv0"], np.int64), use0), 0)
+            mvds[1] = np.where(
+                exp1[:, None],
+                list_mvd(np.asarray(mb["mv1"], np.int64), use1), 0)
         uses = [exp0, exp1]
         skipped = is_direct & (cbp == 0)
     else:
@@ -358,23 +411,43 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
         explicit = coded & ~is_direct
         inter_exp = explicit & is_inter
         grid.ctx_bin(27 + inc, (~is_direct).astype(np.int32), coded)
-        one_list = inter_exp & (btype < 2)
-        grid.ctx_bin(30, ((btype == 2) | ~is_inter).astype(np.int32),
-                     explicit)
+        one_list = inter_exp & ((btype == 0) | (btype == 1))
+        on11 = (btype == 2) | (btype == 5) | ~is_inter
+        grid.ctx_bin(30, on11.astype(np.int32), explicit)
         grid.ctx_bin(32, (btype == 1).astype(np.int32), one_list)
-        tail = explicit & ((btype == 2) | ~is_inter)  # 4-bin suffix
-        bits13 = np.where(is_inter, 0, 13)            # Bi -> 0, intra -> 13
+        tail = explicit & on11                        # 4-bin suffix
+        if b_parts:
+            from tpu264.coding.b_frame import COMBO_IDX
+            mbt_part = (4 + 2 * COMBO_IDX[(bc0 * 3 + bc1).astype(int)]
+                        + (bptype == 2).astype(np.int64))
+            # Table 9-37 '11' suffix: Bi → 0000; intra → 1101; types
+            # 4..10 → value-3; 11 → 1110; 12..21 → (v+4)//2 + 1 extra
+            bits13 = np.where(
+                partd,
+                np.where(mbt_part <= 10, mbt_part - 3,
+                         np.where(mbt_part == 11, 14,
+                                  (mbt_part + 4) // 2)),
+                np.where(is_inter, 0, 13))
+        else:
+            bits13 = np.where(is_inter, 0, 13)        # Bi -> 0, intra -> 13
         grid.ctx_bin(31, ((bits13 >> 3) & 1).astype(np.int32), tail)
         grid.ctx_bin(32, ((bits13 >> 2) & 1).astype(np.int32), tail)
         grid.ctx_bin(32, ((bits13 >> 1) & 1).astype(np.int32), tail)
         grid.ctx_bin(32, (bits13 & 1).astype(np.int32), tail)
+        if b_parts:
+            has_extra = tail & partd & (mbt_part >= 12)
+            grid.ctx_bin(32, (mbt_part & 1).astype(np.int32), has_extra)
         first_ctx = np.full(n, 32, np.int32)
         rest = (33, 34, 34, 35, 35)
     elif p_slice:
         grid.ctx_bin(14, intra_cur.astype(np.int32), coded)
         inter_coded = coded & is_inter
-        grid.ctx_bin(15, 0, inter_coded)      # P_L0_16x16 prefix
-        grid.ctx_bin(16, 0, inter_coded)
+        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16
+        # (bin2 ctx is 16 after b1=0, 17 after b1=1)
+        pb1 = (ptype == 1) | (ptype == 2)
+        grid.ctx_bin(15, pb1.astype(np.int32), inter_coded)
+        grid.ctx_bin(np.where(pb1, 17, 16),
+                     (ptype == 1).astype(np.int32), inter_coded)
         first_ctx = np.full(n, 17, np.int32)
         rest = (18, 19, 19, 20, 20)
     else:
@@ -421,16 +494,15 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     grid.ctx_bin(67, (cmode == 3).astype(np.int32),
                  intra_coded & (cmode > 1))
 
-    # ---- mvd: x (comp 1, base 40) then y (comp 0, base 47), per list --
+    # ---- mvd: x (comp 1, base 40) then y (comp 0, base 47); with
+    # partitions part0 then part1 (7.3.5.1 order), contexts from the
+    # per-partition |mvd| neighbor cells (spec 9.3.3.1.1.7) ----
     if p_slice or b_slice:
-        for lx in range(2 if b_slice else 1):
-            on_mv = coded & uses[lx]
+        def emit_mvd(vals, s_of_comp, on_mv):
             for comp, base in ((1, 40), (0, 47)):
-                s = (np.where(av_l, left(absmvd_gl[lx][:, :, comp]), 0)
-                     + np.where(av_t, top(absmvd_gl[lx][:, :, comp]), 0))\
-                    .reshape(n)
+                s = s_of_comp(comp)
                 inc = np.where(s < 3, 0, np.where(s <= 32, 1, 2))
-                a = np.abs(mvds[lx][:, comp])
+                a = np.abs(vals[:, comp])
                 grid.ctx_bin(base + inc, (a > 0).astype(np.int32), on_mv)
                 for k in (1, 2, 3):
                     grid.ctx_bin(base + k + 2, (a > k).astype(np.int32),
@@ -440,8 +512,86 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
                 grid.ctx_bin(base + 6, 0, on_mv & (a >= 4) & (a < 9))
                 _eg_suffix(grid, np.maximum(a - 9, 0), 3,
                            on_mv & (a >= 9))
-                grid.bypass((mvds[lx][:, comp] < 0).astype(np.int32), 1,
+                grid.bypass((vals[:, comp] < 0).astype(np.int32), 1,
                             on_mv & (a > 0))
+
+        if parts_mode:
+            on0 = coded & is_inter
+            on1 = on0 & (ptype > 0)
+            a0 = np.where(on0[:, None], np.abs(mvds[0]), 0)
+            a1 = np.where(on1[:, None], np.abs(mvd1), 0)
+            # |mvd| at the boundary 4x4 cells later partitions consult:
+            # tr (row 0, right col), bl (bottom row, col 0), br (bottom
+            # row, right col) — same channel semantics as the MVP maps
+            tr_g = np.where((ptype == 2)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+            bl_g = np.where((ptype == 1)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+            br_g = np.where((ptype > 0)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+
+            def s_p0(comp):
+                # part0 top-left cell: A = left MB row-0 right cell (tr),
+                # B = top MB bottom-left cell (bl)
+                return (np.where(av_l, left(tr_g[:, :, comp]), 0)
+                        + np.where(av_t, top(bl_g[:, :, comp]), 0))\
+                    .reshape(n)
+
+            def s_p1(comp):
+                # 16x8 bottom: A = left MB rows-2/3 right cell (br),
+                #              B = own part0
+                # 8x16 right:  A = own part0,
+                #              B = top MB bottom cell col 2 (br)
+                lbr = np.where(av_l, left(br_g[:, :, comp]), 0)\
+                    .reshape(n)
+                tbr = np.where(av_t, top(br_g[:, :, comp]), 0)\
+                    .reshape(n)
+                own = a0[:, comp]
+                return np.where(ptype == 1, lbr + own, own + tbr)
+
+            emit_mvd(mvds[0], s_p0, on0)
+            emit_mvd(mvd1, s_p1, on1)
+        elif b_parts:
+            exps = ((exp0, exp0b), (exp1, exp1b))
+            for lx in range(2):
+                on0 = coded & exps[lx][0]
+                on1 = coded & exps[lx][1] & partd
+                a0 = np.where(on0[:, None], np.abs(bmvd[lx][0]), 0)
+                a1 = np.where(on1[:, None], np.abs(bmvd[lx][1]), 0)
+                tr_g = np.where((bptype == 2)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+                bl_g = np.where((bptype == 1)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+                br_g = np.where((bptype > 0)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+
+                def s_p0(comp, tr_g=tr_g, bl_g=bl_g):
+                    return (np.where(av_l, left(tr_g[:, :, comp]), 0)
+                            + np.where(av_t, top(bl_g[:, :, comp]), 0))\
+                        .reshape(n)
+
+                def s_p1(comp, br_g=br_g, a0=a0):
+                    lbr = np.where(av_l, left(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    tbr = np.where(av_t, top(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    own = a0[:, comp]
+                    return np.where(bptype == 1, lbr + own, own + tbr)
+
+                emit_mvd(bmvd[lx][0], s_p0, on0)
+                emit_mvd(bmvd[lx][1], s_p1, on1)
+        else:
+            for lx in range(2 if b_slice else 1):
+                on_mv = coded & uses[lx]
+
+                def s_mb(comp, lx=lx):
+                    return (np.where(av_l,
+                                     left(absmvd_gl[lx][:, :, comp]), 0)
+                            + np.where(av_t,
+                                       top(absmvd_gl[lx][:, :, comp]), 0))\
+                        .reshape(n)
+
+                emit_mvd(mvds[lx], s_mb, on_mv)
 
     # ---- coded_block_pattern (kind != I16) ----
     on_cbp = coded & ~sel16

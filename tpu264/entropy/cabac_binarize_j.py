@@ -249,14 +249,32 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     sel16_raw = jnp.asarray(mb["sel16"]).astype(bool)
     t8_mode = "t8" in mb
     is_direct = jnp.zeros(n, bool)
+    b_parts = b_slice and "bptype" in mb
     if b_slice:
         btype = jnp.asarray(mb["btype"], jnp.int32)
-        is_inter = btype < 4
+        is_inter = btype != 4
         is_direct = btype == 3
+        partd = btype == 5
         use0 = jnp.asarray(mb["use0"]).astype(bool)
         use1 = jnp.asarray(mb["use1"]).astype(bool)
-        exp0 = (btype == 0) | (btype == 2)
-        exp1 = (btype == 1) | (btype == 2)
+        if b_parts:
+            bptype = jnp.asarray(mb["bptype"], jnp.int32)
+            bc0 = jnp.asarray(mb["c0"], jnp.int32)
+            bc1 = jnp.asarray(mb["c1"], jnp.int32)
+            cu0 = jnp.asarray(np.array([1, 0, 1], np.bool_))
+            cu1 = jnp.asarray(np.array([0, 1, 1], np.bool_))
+            use0b = jnp.where(partd, cu0[bc1], use0)
+            use1b = jnp.where(partd, cu1[bc1], use1)
+            exp0 = jnp.where(partd, cu0[bc0],
+                             (btype == 0) | (btype == 2))
+            exp1 = jnp.where(partd, cu1[bc0],
+                             (btype == 1) | (btype == 2))
+            exp0b = partd & cu0[bc1]
+            exp1b = partd & cu1[bc1]
+        else:
+            bptype = jnp.zeros(n, jnp.int32)
+            exp0 = (btype == 0) | (btype == 2)
+            exp1 = (btype == 1) | (btype == 2)
     else:
         is_inter = (jnp.asarray(mb["is_inter"]).astype(bool) if p_slice
                     else jnp.zeros(n, bool))
@@ -293,19 +311,52 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
                                          nbm["mv_c"], nbm["ref_c"])
             return mv - pred
 
+    parts_mode = p_slice and "ptype" in mb
+    ptype = jnp.zeros(n, jnp.int32)
+    mvd1 = jnp.zeros((n, 2), jnp.int32)
     if p_slice:
         mv = jnp.asarray(mb["mv"], jnp.int32)
-        mvds[0] = list_mvd(mv, is_inter)
+        if parts_mode:
+            # 16x8 / 8x16 partitions: per-partition mvds from the exact
+            # spec-8.4.1.3 derivation shared with the CAVLC serializer
+            from .device_cavlc import _partition_mvds_j
+            ptype = jnp.asarray(mb["ptype"], jnp.int32)
+            mvds[0], mvd1, _ = _partition_mvds_j(mb, wm, hm, slice_rows)
+        else:
+            mvds[0] = list_mvd(mv, is_inter)
         uses[0] = is_inter
         mv_skip = jnp.asarray(mb["mv_skip"], jnp.int32)
-        skipped = is_inter & (mv == mv_skip).all(axis=1) & (cbp == 0)
+        skipped = is_inter & (ptype == 0) \
+            & (mv == mv_skip).all(axis=1) & (cbp == 0)
     elif b_slice:
-        mvds[0] = jnp.where(
-            exp0[:, None],
-            list_mvd(jnp.asarray(mb["mv0"], jnp.int32), use0), 0)
-        mvds[1] = jnp.where(
-            exp1[:, None],
-            list_mvd(jnp.asarray(mb["mv1"], jnp.int32), use1), 0)
+        if b_parts:
+            # per-list per-partition mvds from the exact 8.4.1.3 core
+            # shared with the CAVLC serializer (channel-cell grids)
+            from .device_cavlc import (_cell_grids2_j,
+                                       _partition_mvds_core_j)
+            bmvd = []
+            for mv_key, mvb_key, u_p0, u_p1, e_p0, e_p1 in (
+                    ("mv0", "mv0b", use0, use0b, exp0, exp0b),
+                    ("mv1", "mv1b", use1, use1b, exp1, exp1b)):
+                mv_p0 = jnp.asarray(mb[mv_key], jnp.int32)
+                mv_p1 = jnp.asarray(mb[mvb_key], jnp.int32)
+                tr, rtr, bl_, rbl, br, rbr = _cell_grids2_j(
+                    bptype, mv_p0, mv_p1, u_p0, u_p1, is_inter, wm, hm)
+                p0_ref = jnp.where(is_inter & u_p0, 0, mvpred.INTRA)\
+                    .astype(jnp.int32)
+                d0, d1, _ = _partition_mvds_core_j(
+                    bptype, mv_p0, mv_p1, p0_ref,
+                    tr, rtr, bl_, rbl, br, rbr, wm, hm, slice_rows)
+                bmvd.append((jnp.where(e_p0[:, None], d0, 0),
+                             jnp.where(e_p1[:, None], d1, 0)))
+            mvds[0], mvds[1] = bmvd[0][0], bmvd[1][0]
+        else:
+            mvds[0] = jnp.where(
+                exp0[:, None],
+                list_mvd(jnp.asarray(mb["mv0"], jnp.int32), use0), 0)
+            mvds[1] = jnp.where(
+                exp1[:, None],
+                list_mvd(jnp.asarray(mb["mv1"], jnp.int32), use1), 0)
         uses = [exp0, exp1]
         skipped = is_direct & (cbp == 0)
     else:
@@ -378,23 +429,43 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
         explicit = coded & ~is_direct
         inter_exp = explicit & is_inter
         grid.ctx_bin(27 + inc, (~is_direct).astype(jnp.int32), coded)
-        one_list = inter_exp & (btype < 2)
-        grid.ctx_bin(30, ((btype == 2) | ~is_inter).astype(jnp.int32),
-                     explicit)
+        one_list = inter_exp & ((btype == 0) | (btype == 1))
+        on11 = (btype == 2) | (btype == 5) | ~is_inter
+        grid.ctx_bin(30, on11.astype(jnp.int32), explicit)
         grid.ctx_bin(32, (btype == 1).astype(jnp.int32), one_list)
-        tail = explicit & ((btype == 2) | ~is_inter)
-        bits13 = jnp.where(is_inter, 0, 13)
+        tail = explicit & on11
+        if b_parts:
+            from tpu264.coding.b_frame import COMBO_IDX
+            mbt_part = (4 + 2 * jnp.asarray(COMBO_IDX)[bc0 * 3 + bc1]
+                        + (bptype == 2).astype(jnp.int32))
+            # Table 9-37 '11' suffix: Bi → 0000; intra → 1101; types
+            # 4..10 → value-3; 11 → 1110; 12..21 → (v+4)//2 + 1 extra
+            bits13 = jnp.where(
+                partd,
+                jnp.where(mbt_part <= 10, mbt_part - 3,
+                          jnp.where(mbt_part == 11, 14,
+                                    (mbt_part + 4) // 2)),
+                jnp.where(is_inter, 0, 13))
+        else:
+            bits13 = jnp.where(is_inter, 0, 13)
         grid.ctx_bin(31, ((bits13 >> 3) & 1).astype(jnp.int32), tail)
         grid.ctx_bin(32, ((bits13 >> 2) & 1).astype(jnp.int32), tail)
         grid.ctx_bin(32, ((bits13 >> 1) & 1).astype(jnp.int32), tail)
         grid.ctx_bin(32, (bits13 & 1).astype(jnp.int32), tail)
+        if b_parts:
+            has_extra = tail & partd & (mbt_part >= 12)
+            grid.ctx_bin(32, (mbt_part & 1).astype(jnp.int32), has_extra)
         first_ctx = jnp.full(n, 32, jnp.int32)
         rest = (33, 34, 34, 35, 35)
     elif p_slice:
         grid.ctx_bin(14, intra_cur.astype(jnp.int32), coded)
         inter_coded = coded & is_inter
-        grid.ctx_bin(15, 0, inter_coded)
-        grid.ctx_bin(16, 0, inter_coded)
+        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16
+        # (bin2 ctx is 16 after b1=0, 17 after b1=1)
+        pb1 = (ptype == 1) | (ptype == 2)
+        grid.ctx_bin(15, pb1.astype(jnp.int32), inter_coded)
+        grid.ctx_bin(jnp.where(pb1, 17, 16),
+                     (ptype == 1).astype(jnp.int32), inter_coded)
         first_ctx = jnp.full(n, 17, jnp.int32)
         rest = (18, 19, 19, 20, 20)
     else:
@@ -441,16 +512,15 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     grid.ctx_bin(67, (cmode == 3).astype(jnp.int32),
                  intra_coded & (cmode > 1))
 
-    # ---- mvd ----
+    # ---- mvd: x (comp 1, base 40) then y (comp 0, base 47); with
+    # partitions part0 then part1 (7.3.5.1 order), contexts from the
+    # per-partition |mvd| neighbor cells (spec 9.3.3.1.1.7) ----
     if p_slice or b_slice:
-        for lx in range(2 if b_slice else 1):
-            on_mv = coded & uses[lx]
+        def emit_mvd(vals, s_of_comp, on_mv):
             for comp, base in ((1, 40), (0, 47)):
-                s = (jnp.where(av_l, left(absmvd_gl[lx][:, :, comp]), 0)
-                     + jnp.where(av_t, top(absmvd_gl[lx][:, :, comp]), 0))\
-                    .reshape(n)
+                s = s_of_comp(comp)
                 inc = jnp.where(s < 3, 0, jnp.where(s <= 32, 1, 2))
-                a = jnp.abs(mvds[lx][:, comp])
+                a = jnp.abs(vals[:, comp])
                 grid.ctx_bin(base + inc, (a > 0).astype(jnp.int32), on_mv)
                 for k in (1, 2, 3):
                     grid.ctx_bin(base + k + 2, (a > k).astype(jnp.int32),
@@ -462,8 +532,86 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
                 on_eg = on_mv & (a >= 9)
                 grid.bypass(egp, egpb, on_eg)
                 grid.bypass(egs, egsb, on_eg & (egsb > 0))
-                grid.bypass((mvds[lx][:, comp] < 0).astype(jnp.int32), 1,
+                grid.bypass((vals[:, comp] < 0).astype(jnp.int32), 1,
                             on_mv & (a > 0))
+
+        if parts_mode:
+            on0 = coded & is_inter
+            on1 = on0 & (ptype > 0)
+            a0 = jnp.where(on0[:, None], jnp.abs(mvds[0]), 0)
+            a1 = jnp.where(on1[:, None], jnp.abs(mvd1), 0)
+            # |mvd| at the boundary 4x4 cells later partitions consult:
+            # tr (row 0, right col), bl (bottom row, col 0), br (bottom
+            # row, right col) — same channel semantics as the MVP maps
+            tr_g = jnp.where((ptype == 2)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+            bl_g = jnp.where((ptype == 1)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+            br_g = jnp.where((ptype > 0)[:, None], a1, a0)\
+                .reshape(hm, wm, 2)
+
+            def s_p0(comp):
+                # part0 top-left cell: A = left MB row-0 right cell (tr),
+                # B = top MB bottom-left cell (bl)
+                return (jnp.where(av_l, left(tr_g[:, :, comp]), 0)
+                        + jnp.where(av_t, top(bl_g[:, :, comp]), 0))\
+                    .reshape(n)
+
+            def s_p1(comp):
+                # 16x8 bottom: A = left MB rows-2/3 right cell (br),
+                #              B = own part0
+                # 8x16 right:  A = own part0,
+                #              B = top MB bottom cell col 2 (br)
+                lbr = jnp.where(av_l, left(br_g[:, :, comp]), 0)\
+                    .reshape(n)
+                tbr = jnp.where(av_t, top(br_g[:, :, comp]), 0)\
+                    .reshape(n)
+                own = a0[:, comp]
+                return jnp.where(ptype == 1, lbr + own, own + tbr)
+
+            emit_mvd(mvds[0], s_p0, on0)
+            emit_mvd(mvd1, s_p1, on1)
+        elif b_parts:
+            exps = ((exp0, exp0b), (exp1, exp1b))
+            for lx in range(2):
+                on0 = coded & exps[lx][0]
+                on1 = coded & exps[lx][1] & partd
+                a0 = jnp.where(on0[:, None], jnp.abs(bmvd[lx][0]), 0)
+                a1 = jnp.where(on1[:, None], jnp.abs(bmvd[lx][1]), 0)
+                tr_g = jnp.where((bptype == 2)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+                bl_g = jnp.where((bptype == 1)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+                br_g = jnp.where((bptype > 0)[:, None], a1, a0)\
+                    .reshape(hm, wm, 2)
+
+                def s_p0(comp, tr_g=tr_g, bl_g=bl_g):
+                    return (jnp.where(av_l, left(tr_g[:, :, comp]), 0)
+                            + jnp.where(av_t, top(bl_g[:, :, comp]), 0))\
+                        .reshape(n)
+
+                def s_p1(comp, br_g=br_g, a0=a0):
+                    lbr = jnp.where(av_l, left(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    tbr = jnp.where(av_t, top(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    own = a0[:, comp]
+                    return jnp.where(bptype == 1, lbr + own, own + tbr)
+
+                emit_mvd(bmvd[lx][0], s_p0, on0)
+                emit_mvd(bmvd[lx][1], s_p1, on1)
+        else:
+            for lx in range(2 if b_slice else 1):
+                on_mv = coded & uses[lx]
+
+                def s_mb(comp, lx=lx):
+                    return (jnp.where(av_l,
+                                      left(absmvd_gl[lx][:, :, comp]), 0)
+                            + jnp.where(av_t,
+                                        top(absmvd_gl[lx][:, :, comp]), 0))\
+                        .reshape(n)
+
+                emit_mvd(mvds[lx], s_mb, on_mv)
 
     # ---- coded_block_pattern ----
     on_cbp = coded & ~sel16

@@ -35,8 +35,9 @@ def encode_frame_cabac_fast(mb, wm: int, hm: int, slice_start_rows,
     """
     from . import cabac_native
     if not cabac_native.available():
-        if b_slice:
-            raise RuntimeError("CABAC B slices need the native engine")
+        if b_slice or "ptype" in mb:
+            raise RuntimeError(
+                "CABAC B slices / partitions need the native engine")
         return encode_frame_cabac(mb, wm, hm, slice_start_rows, qp,
                                   p_slice=p_slice, init_idc=init_idc)
     from . import cabac_binarize as cb

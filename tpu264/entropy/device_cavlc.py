@@ -498,17 +498,37 @@ def _shift_nbrs_j(grid_tr, grid_bl, grid_br, ref_g, wm, hm, slice_rows):
             f(mv_d), f(ref_d))
 
 
-def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
-    """Per-partition mvds for ptype streams — mirrors the decoder's
+def _cell_grids2_j(ptype, mv_p0, mv_p1, use_p0, use_p1, is_inter,
+                   wm: int, hm: int):
+    """Per-list boundary-cell grids with per-CHANNEL refs.
+
+    Generalizes `_cell_grids_j` to lists a partition may not use (B
+    slices): a cell covered by a partition that uses the list carries
+    (mv, ref 0); covered by a non-using partition or an intra MB it
+    carries (0, INTRA) — spec 8.4.1.3 "refIdxLXN = -1" semantics."""
+    def cell(sel2):
+        m = jnp.where(sel2[:, None], mv_p1, mv_p0)
+        use = jnp.where(sel2, use_p1, use_p0) & is_inter
+        mvg = jnp.where(use[:, None], m, 0).reshape(hm, wm, 2)
+        refg = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
+            .astype(jnp.int32)
+        return mvg, refg
+
+    tr, ref_tr = cell(ptype == 2)
+    bl, ref_bl = cell(ptype == 1)
+    br, ref_br = cell(ptype > 0)
+    return tr, ref_tr, bl, ref_bl, br, ref_br
+
+
+def _partition_mvds_core_j(ptype, mv_p0, mv_p1, p0_ref,
+                           tr, ref_tr, bl, ref_bl, br, ref_br,
+                           wm: int, hm: int, slice_rows):
+    """Per-partition mvds from per-list channel grids — the decoder's
     spec-8.4.1.3 derivation incl. the 16x8/8x16 directional shortcuts.
-    Returns (mvd0 [n, 2], mvd1 [n, 2], mv_pred16 [n, 2])."""
-    ptype = mb["ptype"].astype(jnp.int32)
-    mv = mb["mv"].astype(jnp.int32)
-    mv2 = mb["mv2"].astype(jnp.int32)
-    tr, bl, br, ref_g = _cell_grids_j(mb, wm, hm)
-    (mv_a, ref_a, mv_b, ref_b, mv_c, ref_c, mv_d, ref_d) = \
-        _shift_nbrs_j(tr, bl, br, ref_g, wm, hm, slice_rows)
-    pred16 = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b, mv_c, ref_c)
+
+    `p0_ref` [n]: the current MB's part0 ref FOR THIS LIST (0 when the
+    partition uses the list, INTRA otherwise) — part1's within-MB
+    neighbors read it.  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16)."""
     UN = mvpred.UNAVAIL
     z2 = jnp.zeros((hm, wm, 2), jnp.int32)
     un = jnp.full((hm, wm), UN, jnp.int32)
@@ -519,16 +539,43 @@ def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
         mask[int(r)] = True
     mj = jnp.asarray(mask)
 
-    def topgrid(g):
-        mvv = z2.at[1:, :].set(g[:-1, :])
-        rr = un.at[1:, :].set(ref_g[:-1, :])
+    def leftg(g, rg):
+        mvv = z2.at[:, 1:].set(g[:, :-1])
+        rr = un.at[:, 1:].set(rg[:, :-1])
+        return f(mvv), f(rr)
+
+    def topg(g, rg, dc=0):
+        if dc == 0:
+            mvv = z2.at[1:, :].set(g[:-1, :])
+            rr = un.at[1:, :].set(rg[:-1, :])
+        else:                              # top-RIGHT MB (C position)
+            mvv = z2.at[1:, :-1].set(g[:-1, 1:])
+            rr = un.at[1:, :-1].set(rg[:-1, 1:])
         rr = jnp.where(mj, UN, rr)
         mvv = jnp.where(mj[..., None], 0, mvv)
         return f(mvv), f(rr)
 
+    def topleftg(g, rg):
+        mvv = z2.at[1:, 1:].set(g[:-1, :-1])
+        rr = un.at[1:, 1:].set(rg[:-1, :-1])
+        rr = jnp.where(mj, UN, rr)
+        mvv = jnp.where(mj[..., None], 0, mvv)
+        return f(mvv), f(rr)
+
+    # 16x16 neighbors: A = left MB tr cell, B = top MB bl cell,
+    # C = top-right MB bl cell (D-subst -> top-left MB br cell)
+    mv_a, ref_a = leftg(tr, ref_tr)
+    mv_b, ref_b = topg(bl, ref_bl)
+    mv_c, ref_c = topg(bl, ref_bl, dc=1)
+    mv_d, ref_d = topleftg(br, ref_br)
+    use_d = ref_c == UN
+    mv_c16 = jnp.where(use_d[:, None], mv_d, mv_c)
+    ref_c16 = jnp.where(use_d, ref_d, ref_c)
+    pred16 = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b,
+                                   mv_c16, ref_c16)
     # 8x16 left half: its C is the TOP MB's col-2 cell (br channel),
     # with D-substitution to the top-left MB's br cell
-    mv_tbr, ref_tbr = topgrid(br)
+    mv_tbr, ref_tbr = topg(br, ref_br)
     use_d0 = ref_tbr == UN
     mv_c0 = jnp.where(use_d0[:, None], mv_d, mv_tbr)
     ref_c0 = jnp.where(use_d0, ref_d, ref_tbr)
@@ -540,34 +587,47 @@ def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
                       jnp.where(((ptype == 1) & (ref_b == 0))[:, None],
                                 mv_b, pred16))
     # ---- part1 ----
+    # own part0 as a neighbor: predict_mv expects mv already zeroed for
+    # neighbors whose refIdx != 0 (a part0 not using this list)
+    mv_p0n = jnp.where((p0_ref == 0)[:, None], mv_p0, 0)
     # 16x8 bottom: A = left MB rows 2-3 (br channel); shortcut on A;
-    # B = own part0 (always inter, ref 0); C unavailable → D = left MB
+    # B = own part0 (ref = p0_ref); C unavailable → D = left MB
     # rows 0-1 (tr channel)
-    mv_lbr = f(z2.at[:, 1:].set(br[:, :-1]))
-    ref_lbr = f(un.at[:, 1:].set(ref_g[:, :-1]))
+    mv_lbr, ref_lbr = leftg(br, ref_br)
     mv_ltr, ref_ltr = mv_a, ref_a
-    p1_16x8 = mvpred.predict_mv_jnp(mv_lbr, ref_lbr, mv,
-                                    jnp.zeros_like(ref_lbr), mv_ltr,
-                                    ref_ltr)
+    p1_16x8 = mvpred.predict_mv_jnp(mv_lbr, ref_lbr, mv_p0n, p0_ref,
+                                    mv_ltr, ref_ltr)
     p1_16x8 = jnp.where((ref_lbr == 0)[:, None], mv_lbr, p1_16x8)
-    # 8x16 right: A = own part0; B = top MB col-2 cell (br channel);
-    # C = top-right MB bottom-left (bl), D-subst -> top MB bl; shortcut
-    # on C
-    mv_tbl, ref_tbl = topgrid(bl)
-    # raw C (top-right MB bl, no MB-level D substitution)
-    mv_cr = z2.at[1:, :-1].set(bl[:-1, 1:])
-    ref_cr = un.at[1:, :-1].set(ref_g[:-1, 1:])
-    ref_cr = jnp.where(mj, UN, ref_cr)
-    mv_cr = jnp.where(mj[..., None], 0, mv_cr)
-    mv_cr, ref_cr = f(mv_cr), f(ref_cr)
+    # 8x16 right: A = own part0 (ref = p0_ref); B = top MB col-2 cell
+    # (br channel); C = top-right MB bottom-left (bl), D-subst -> top
+    # MB bl; shortcut on C
+    mv_tbl, ref_tbl = topg(bl, ref_bl)
+    mv_cr, ref_cr = topg(bl, ref_bl, dc=1)
     use_d1 = ref_cr == UN
     mv_c1 = jnp.where(use_d1[:, None], mv_tbl, mv_cr)
     ref_c1 = jnp.where(use_d1, ref_tbl, ref_cr)
-    p1_8x16 = mvpred.predict_mv_jnp(mv, jnp.zeros_like(ref_tbr),
+    p1_8x16 = mvpred.predict_mv_jnp(mv_p0n, p0_ref,
                                     mv_tbr, ref_tbr, mv_c1, ref_c1)
     p1_8x16 = jnp.where((ref_c1 == 0)[:, None], mv_c1, p1_8x16)
     pred1 = jnp.where((ptype == 1)[:, None], p1_16x8, p1_8x16)
-    return mv - pred0, mv2 - pred1, pred16
+    return mv_p0 - pred0, mv_p1 - pred1, pred16
+
+
+def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
+    """Per-partition mvds for P ptype streams (every inter partition
+    uses list 0, ref 0).  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16)."""
+    n = wm * hm
+    ptype = mb["ptype"].astype(jnp.int32)
+    mv = mb["mv"].astype(jnp.int32)
+    mv2 = mb["mv2"].astype(jnp.int32)
+    is_inter = mb["is_inter"].astype(bool)
+    ones = jnp.ones(n, bool)
+    tr, ref_tr, bl, ref_bl, br, ref_br = _cell_grids2_j(
+        ptype, mv, mv2, ones, ones, is_inter, wm, hm)
+    p0_ref = jnp.where(is_inter, 0, mvpred.INTRA).astype(jnp.int32)
+    return _partition_mvds_core_j(ptype, mv, mv2, p0_ref,
+                                  tr, ref_tr, bl, ref_bl, br, ref_br,
+                                  wm, hm, slice_rows)
 
 
 def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
@@ -692,25 +752,51 @@ MB_SLOTS_B = HDR_SLOTS_B + 27 * SLOTS_PER_BLOCK
 
 
 def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
-    """B-frame element grids (16x16 L0/L1/Bi, spatial direct/skip, intra).
+    """B-frame element grids (16x16 L0/L1/Bi, spatial direct/skip,
+    16x8 / 8x16 two-partition types, intra).
 
-    `mb` carries btype (0=L0, 1=L1, 2=Bi, 3=Direct, >=4 intra), final
-    per-list motion mv0/mv1 with use0/use1 flags (direct included), plus
-    the shared intra/residual fields.  Direct MBs with cbp 0 become
-    B_Skip runs.  Bitstream order mirrors decode.decoder._decode_mb_b.
+    `mb` carries btype (0=L0, 1=L1, 2=Bi, 3=Direct, 4=intra,
+    5=two-partition), final per-list motion mv0/mv1 with use0/use1
+    flags (direct included; part0's for btype 5), plus — in partition
+    mode — bptype (1=16x8, 2=8x16), c0/c1 (per-partition 0=L0, 1=L1,
+    2=Bi) and mv0b/mv1b (part1 per-list MVs), and the shared
+    intra/residual fields.  Direct MBs with cbp 0 become B_Skip runs.
+    Bitstream order mirrors decode.decoder._decode_mb_b / _b_parts.
     Returns (values, lengths, skipped [n] bool).
     """
     n = wm * hm
+    parts_mode = "bptype" in mb
     btype = mb["btype"].astype(jnp.int32)
-    is_inter = btype < 4
+    is_inter = btype != 4
     is_direct = btype == 3
-    exp0 = (btype == 0) | (btype == 2)     # lists with explicit mvd
-    exp1 = (btype == 1) | (btype == 2)
+    partd = btype == 5
     use0 = mb["use0"].astype(bool)
     use1 = mb["use1"].astype(bool)
+    if parts_mode:
+        from tpu264.coding.b_frame import COMBO_IDX
+        bptype = mb["bptype"].astype(jnp.int32)
+        c0 = mb["c0"].astype(jnp.int32)
+        c1 = mb["c1"].astype(jnp.int32)
+        combo_u0 = jnp.asarray(np.array([1, 0, 1], np.bool_))
+        combo_u1 = jnp.asarray(np.array([0, 1, 1], np.bool_))
+        use0b = jnp.where(partd, combo_u0[c1], use0)
+        use1b = jnp.where(partd, combo_u1[c1], use1)
+        exp0 = jnp.where(partd, combo_u0[c0],
+                         (btype == 0) | (btype == 2))
+        exp1 = jnp.where(partd, combo_u1[c0],
+                         (btype == 1) | (btype == 2))
+        exp0b = partd & combo_u0[c1]
+        exp1b = partd & combo_u1[c1]
+    else:
+        bptype = jnp.zeros(n, jnp.int32)
+        exp0 = (btype == 0) | (btype == 2)     # lists with explicit mvd
+        exp1 = (btype == 1) | (btype == 2)
     sel16 = mb["sel16"].astype(bool) & ~is_inter
-    vals = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
-    lens = [jnp.zeros(n, jnp.int32)] * MB_SLOTS_B
+    t8_mode = "t8" in mb
+    ioff = 1 if t8_mode else 0
+    n_slots = MB_SLOTS_B + (4 if parts_mode else 0) + 2 * ioff
+    vals = [jnp.zeros(n, jnp.int32)] * n_slots
+    lens = [jnp.zeros(n, jnp.int32)] * n_slots
     luma_ac = mb["luma_ac"].astype(jnp.int32)
     cbp_luma, cbp_chroma, cbp = _compute_cbp_j(
         sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
@@ -740,50 +826,92 @@ def serialize_frame_b_j(mb, wm: int, hm: int, slice_rows):
                                + 4 * cbp_chroma + 12 * (cbp_luma > 0), 0)
     mbt = jnp.where(is_direct, 0,
                     jnp.where(is_inter, btype + 1, mbt_intra))
+    if parts_mode:
+        # Table 7-14 mb_type 4..21: 4 + 2*combo + (8x16)
+        mbt_part = (4 + 2 * jnp.asarray(COMBO_IDX)[c0 * 3 + c1]
+                    + (bptype == 2).astype(jnp.int32))
+        mbt = jnp.where(partd, mbt_part, mbt)
     tc_, tl_ = ue_code_j(mbt)
     vals[1] = jnp.where(coded, tc_.astype(jnp.int32), 0)
     lens[1] = jnp.where(coded, tl_, 0)
 
     is_i4 = coded & ~is_inter & ~sel16
-    _i4_mode_slots_j(vals, lens, 2, mb, is_i4, wm, hm, slice_rows)
+    if t8_mode:
+        lens[2] = jnp.where(is_i4, 1, 0)   # t8 flag = 0 for I_NxN
+    _i4_mode_slots_j(vals, lens, 2 + ioff, mb, is_i4, wm, hm, slice_rows)
 
     intra_coded = coded & ~is_inter
     cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
-    vals[18] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
-    lens[18] = jnp.where(intra_coded, cml, 0)
+    vals[18 + ioff] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
+    lens[18 + ioff] = jnp.where(intra_coded, cml, 0)
 
     # per-list mvd (x then y): predictors from the FINAL per-list maps
     # (direct motion participates as a neighbor); mvd written only for
-    # the explicit lists of non-direct inter MBs
-    for mv_key, use, exp, slot0 in (("mv0", use0, exp0, 19),
-                                    ("mv1", use1, exp1, 21)):
-        mv = mb[mv_key].astype(jnp.int32)
-        mv_map = jnp.where(use[:, None], mv, 0).reshape(hm, wm, 2)
-        ref_map = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
-            .astype(jnp.int32)
-        nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
-        mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"],
-                                        nb["mv_b"], nb["ref_b"],
-                                        nb["mv_c"], nb["ref_c"])
-        mvd = mv - mv_pred
-        for k, comp in ((slot0, 1), (slot0 + 1, 0)):
-            code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
-            vals[k] = jnp.where(exp, code.astype(jnp.int32), 0)
-            lens[k] = jnp.where(exp, ln, 0)
+    # the explicit lists of non-direct inter MBs.  Stream order (spec
+    # 7.3.5.1): mvd_l0 part0, part1, then mvd_l1 part0, part1.
+    if parts_mode:
+        for mv_key, mvb_key, u_p0, u_p1, e_p0, e_p1, slot0 in (
+                ("mv0", "mv0b", use0, use0b, exp0, exp0b, 19 + ioff),
+                ("mv1", "mv1b", use1, use1b, exp1, exp1b, 23 + ioff)):
+            mv_p0 = mb[mv_key].astype(jnp.int32)
+            mv_p1 = mb[mvb_key].astype(jnp.int32)
+            tr, rtr, bl, rbl, br, rbr = _cell_grids2_j(
+                bptype, mv_p0, mv_p1, u_p0, u_p1, is_inter, wm, hm)
+            p0_ref = jnp.where(is_inter & u_p0, 0, mvpred.INTRA)\
+                .astype(jnp.int32)
+            mvd0, mvd1, _ = _partition_mvds_core_j(
+                bptype, mv_p0, mv_p1, p0_ref, tr, rtr, bl, rbl, br, rbr,
+                wm, hm, slice_rows)
+            on0 = coded & e_p0
+            on1 = coded & e_p1
+            for mvd, on, s0 in ((mvd0, on0, slot0),
+                                (mvd1, on1, slot0 + 2)):
+                for k, comp in ((s0, 1), (s0 + 1, 0)):
+                    code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
+                    vals[k] = jnp.where(on, code.astype(jnp.int32), 0)
+                    lens[k] = jnp.where(on, ln, 0)
+    else:
+        for mv_key, use, exp, slot0 in (("mv0", use0, exp0, 19 + ioff),
+                                        ("mv1", use1, exp1, 21 + ioff)):
+            mv = mb[mv_key].astype(jnp.int32)
+            mv_map = jnp.where(use[:, None], mv, 0).reshape(hm, wm, 2)
+            ref_map = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
+                .astype(jnp.int32)
+            nb = _neighbor_mvs_j(mv_map, ref_map, wm, hm, slice_rows)
+            mv_pred = mvpred.predict_mv_jnp(nb["mv_a"], nb["ref_a"],
+                                            nb["mv_b"], nb["ref_b"],
+                                            nb["mv_c"], nb["ref_c"])
+            mvd = mv - mv_pred
+            for k, comp in ((slot0, 1), (slot0 + 1, 0)):
+                code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
+                vals[k] = jnp.where(exp, code.astype(jnp.int32), 0)
+                lens[k] = jnp.where(exp, ln, 0)
 
+    poff = 4 if parts_mode else 0
     ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
     cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])
     inter_coded = coded & is_inter
-    vals[23] = jnp.where(inter_coded, cp.astype(jnp.int32),
-                         jnp.where(is_i4, ci.astype(jnp.int32), 0))
-    lens[23] = jnp.where(inter_coded, lp_, jnp.where(is_i4, li_, 0))
+    cbp_slot = 23 + poff + ioff
+    vals[cbp_slot] = jnp.where(inter_coded, cp.astype(jnp.int32),
+                               jnp.where(is_i4, ci.astype(jnp.int32), 0))
+    lens[cbp_slot] = jnp.where(inter_coded, lp_,
+                               jnp.where(is_i4, li_, 0))
+
+    dq_slot = cbp_slot + 1
+    if t8_mode:
+        # transform_size_8x8_flag (value 0: our B engines are 4x4-only)
+        # after cbp for inter MBs with luma residual — direct included
+        # (sps.direct_8x8_inference_flag == 1), 16x8/8x16 qualify
+        flag_on = inter_coded & (cbp_luma > 0)
+        lens[dq_slot] = jnp.where(flag_on, 1, 0)
+        dq_slot += 1
 
     has_delta = coded & (sel16 | (cbp > 0))
-    vals[24] = jnp.where(has_delta, 1, 0)
-    lens[24] = jnp.where(has_delta, 1, 0)
+    vals[dq_slot] = jnp.where(has_delta, 1, 0)
+    lens[dq_slot] = jnp.where(has_delta, 1, 0)
 
-    _residual_slots_j(vals, lens, HDR_SLOTS_B, mb, sel16, cbp_luma,
-                      cbp_chroma, wm, hm, slice_rows)
+    _residual_slots_j(vals, lens, HDR_SLOTS_B + poff + 2 * ioff, mb,
+                      sel16, cbp_luma, cbp_chroma, wm, hm, slice_rows)
     return jnp.stack(vals, axis=1), jnp.stack(lens, axis=1), skipped
 
 

@@ -102,25 +102,24 @@ class TiledEncoder:
             self.gop_mode = "ippp"
         self.sps, self.pps, self.cabac = build_params(cfg, self.gop_mode)
         self._enc_i = make_intra_encoder(band_sched)
-        # 16x8/8x16 partitions: same auto rule as Encoder (CAVLC IPPP)
+        # 16x8/8x16 partitions: same auto rule as Encoder (IPPP, both
+        # entropy coders)
         self.partitions = (cfg.inter_partitions
                            if cfg.inter_partitions is not None
-                           else (self.gop_mode == "ippp"
-                                 and not self.cabac))
-        forced_off = (self.partitions
-                      and not (self.gop_mode == "ippp" and not self.cabac))
-        self.partitions = (self.partitions and self.gop_mode == "ippp"
-                           and not self.cabac)
+                           else self.gop_mode == "ippp")
+        forced_off = self.partitions and self.gop_mode != "ippp"
+        self.partitions = self.partitions and self.gop_mode == "ippp"
         if forced_off and cfg.inter_partitions:
             import warnings
             warnings.warn(
-                "inter_partitions requested but only supported for CAVLC "
+                "inter_partitions requested but only supported for "
                 "IPPP GOPs; encoding without partitions", stacklevel=2)
         # High-profile 8x8 transform: same auto rule as Encoder
         self.t8_mode = (cfg.transform_8x8
                         if cfg.transform_8x8 is not None
-                        else self.gop_mode == "ippp")
-        self.t8_mode = self.t8_mode and self.gop_mode == "ippp"
+                        else self.gop_mode in ("ippp", "bgop"))
+        self.t8_mode = (self.t8_mode
+                        and self.gop_mode in ("ippp", "bgop"))
         if self.t8_mode:
             self.sps, self.pps, self.cabac = build_params(
                 cfg, self.gop_mode, t8=True)
@@ -130,10 +129,14 @@ class TiledEncoder:
                                          partitions=self.partitions,
                                          t8=self.t8_mode)
         self._enc_b = None
+        # B 16x8/8x16 partitions: same auto rule as Encoder (non-ref Bs)
+        self.b_partitions = (self.gop_mode == "bgop"
+                             and cfg.inter_partitions is not False)
         if self.gop_mode == "bgop":
             self._enc_b = make_b_encoder(band_sched,
                                          search_range=cfg.search_range,
-                                         ref_prepadded=True)
+                                         ref_prepadded=True,
+                                         partitions=self.b_partitions)
         self.deblock_idc = (1 if not cfg.deblock else 2)
         self._deblock = None
         if cfg.deblock:
@@ -191,16 +194,53 @@ class TiledEncoder:
                 tc = jnp.where(t8r, tc8, tc)
             if mode == "b":
                 btype = mbd["btype"]
-                is_inter = btype < 4
+                is_inter = btype != 4
                 use0 = mbd["use0"].astype(bool)
                 use1 = mbd["use1"].astype(bool)
-                mv_grid = jnp.stack(
-                    [jnp.where(use0[:, None], mbd["mv0"], 0),
-                     jnp.where(use1[:, None], mbd["mv1"], 0)],
-                    axis=1).reshape(bh, wm, 2, 2).astype(jnp.int32)
-                ref_grid = jnp.stack(
-                    [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
-                    axis=1).reshape(bh, wm, 2).astype(jnp.int32)
+                if "bptype" in mbd:
+                    # partitioned B: per-4x4 two-list grids
+                    partd = btype == 5
+                    cu0 = jnp.asarray(np.array([1, 0, 1], np.bool_))
+                    cu1 = jnp.asarray(np.array([0, 1, 1], np.bool_))
+                    c1b = mbd["c1"].astype(jnp.int32)
+                    use0b = jnp.where(partd, cu0[c1b], use0)
+                    use1b = jnp.where(partd, cu1[c1b], use1)
+                    up4 = lambda a: jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+                    bt4 = up4(mbd["bptype"].astype(jnp.int32)
+                              .reshape(bh, wm))
+                    rsel = (jnp.arange(bh * 4) % 4 >= 2)[:, None]
+                    csel = (jnp.arange(wm * 4) % 4 >= 2)[None, :]
+                    p1cell = jnp.where(bt4 == 1, rsel,
+                                       jnp.where(bt4 == 2, csel, False))
+
+                    def lgrids(mvp0, up0, mvp1, up1, pid):
+                        m0 = up4(jnp.where((up0 & is_inter)[:, None],
+                                           mvp0, 0)
+                                 .reshape(bh, wm, 2).astype(jnp.int32))
+                        m1 = up4(jnp.where((up1 & is_inter)[:, None],
+                                           mvp1, 0)
+                                 .reshape(bh, wm, 2).astype(jnp.int32))
+                        r0g = up4(jnp.where(up0 & is_inter, pid, -1)
+                                  .reshape(bh, wm).astype(jnp.int32))
+                        r1g = up4(jnp.where(up1 & is_inter, pid, -1)
+                                  .reshape(bh, wm).astype(jnp.int32))
+                        return (jnp.where(p1cell[..., None], m1, m0),
+                                jnp.where(p1cell, r1g, r0g))
+
+                    ml0, rl0 = lgrids(mbd["mv0"], use0, mbd["mv0b"],
+                                      use0b, 0)
+                    ml1, rl1 = lgrids(mbd["mv1"], use1, mbd["mv1b"],
+                                      use1b, 1)
+                    mv_grid = jnp.stack([ml0, ml1], axis=2)
+                    ref_grid = jnp.stack([rl0, rl1], axis=2)
+                else:
+                    mv_grid = jnp.stack(
+                        [jnp.where(use0[:, None], mbd["mv0"], 0),
+                         jnp.where(use1[:, None], mbd["mv1"], 0)],
+                        axis=1).reshape(bh, wm, 2, 2).astype(jnp.int32)
+                    ref_grid = jnp.stack(
+                        [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
+                        axis=1).reshape(bh, wm, 2).astype(jnp.int32)
             elif mode == "p":
                 is_inter = mbd["is_inter"].astype(bool)
                 mv = mbd["mv"].astype(jnp.int32)
@@ -276,10 +316,11 @@ class TiledEncoder:
             CABAC: device binarize + compaction, then either the in-step
             Pallas coder (TPU: payload words out) or the record streams
             for the host C replay."""
+            if self.t8_mode and "t8" not in mbd:
+                # B (and t8-less I) mbds still carry the flag syntax
+                mbd = dict(mbd, t8=jnp.zeros(band_n, bool))
             if self.cabac:
                 from tpu264.entropy import cabac_binarize_j as cbj
-                if self.t8_mode and "t8" not in mbd:
-                    mbd = dict(mbd, t8=jnp.zeros(band_n, bool))
                 k, a, b, v, _ = cbj.binarize_frame_j(
                     mbd, wm, self.band_hm, rows, 0,
                     p_slice=(kind == "p"), b_slice=(kind == "b"))
@@ -332,13 +373,14 @@ class TiledEncoder:
             return (ry2[None, None], ru2[None, None], rv2[None, None],
                     payload, colzero[None, None], sad[None, None])
 
-        def step_b(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero_in, qp):
+        def step_b(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero_in, qp,
+                   allow_parts):
             y, u, v = y[0, 0], u[0, 0], v[0, 0]
             qp = qp[0]
             p0 = ref_halos(r0y[0, 0], r0u[0, 0], r0v[0, 0])
             p1 = ref_halos(r1y[0, 0], r1u[0, 0], r1v[0, 0])
             dev_out, ys = self._enc_b(y, u, v, *p0, *p1,
-                                      colzero_in[0, 0], qp)
+                                      colzero_in[0, 0], qp, allow_parts)
             mbd = reorder_wave_outputs_j(band_sched, ys)
             payload = payload_of(mbd, "b", qp)
             ry2, ru2, rv2 = band_recon(dev_out, mbd, qp, "b")
@@ -364,7 +406,7 @@ class TiledEncoder:
             self._step_b = jax.jit(jax.shard_map(
                 step_b, mesh=mesh,
                 in_specs=(gspec,) * 9 + (P(gop_axis, tile_axis, None),
-                                         qspec),
+                                         qspec, P()),
                 out_specs=out_spec, check_vma=False))
 
     # ------------------------------------------------------------ host side
@@ -422,7 +464,8 @@ class TiledEncoder:
                                 pad_band(r0[2], _PAD // 2),
                                 pad_band(r1[0], _PAD),
                                 pad_band(r1[1], _PAD // 2),
-                                pad_band(r1[2], _PAD // 2), cz, qpg)
+                                pad_band(r1[2], _PAD // 2), cz, qpg,
+                                fb.get("ap", np.True_))
         mbd = reorder_wave_outputs_j(self.band_sched, ys)
         mb = {k2: np.asarray(v2) for k2, v2 in mbd.items()}
         if self.t8_mode and "t8" not in mb:
@@ -664,11 +707,13 @@ class TiledEncoder:
                 qp = np.minimum(base_b + layer - 1, 51).astype(np.int32)
                 poc = (2 * (disp - disp_base)) % max_lsb
                 is_ref = kind == "Bref"
+                ap = jnp.asarray(not is_ref)
                 ry, ru, rv, payload, cz, sad = self._step_b(
-                    y, u, v, *recons[r0], *recons[r1], cz_of[r1], qp)
+                    y, u, v, *recons[r0], *recons[r1], cz_of[r1], qp, ap)
                 fins = self._band_payloads(
                     payload, qp, "b", fb=dict(y=y, u=u, v=v, r0=recons[r0],
-                                              r1=recons[r1], cz=cz_of[r1]))
+                                              r1=recons[r1], cz=cz_of[r1],
+                                              ap=ap))
                 self._emit_frame(outs, fins, _SB, fn, qp, poc_lsb=poc,
                                  nal_ref_idc=2 if is_ref else 0)
                 if is_ref:
