@@ -257,3 +257,55 @@ def test_x264_scaling_matrices(cqm, ec):
                     params=_base(ec) + f":ref=2:partitions=p8x8:8x8dct=1"
                     f":cqm={cqm}")
     _check(s)
+
+
+@pytest.mark.parametrize("ec", [0, 1])
+def test_x264_frame_cropping(ec):
+    """Non-multiple-of-16 dimensions: x264 emits frame_cropping_flag
+    (spec 7.4.2.1.1); cropping applies to OUTPUT pictures only while
+    references stay full padded size."""
+    cw, ch = 172, 92
+    frames = [(y[:ch, :cw], u[:ch // 2, :cw // 2], v[:ch // 2, :cw // 2])
+              for (y, u, v) in _frames(4)]
+    s = x264_encode(frames, qp=28, params=_base(ec) + ":ref=2:keyint=30")
+    from tpu264.decode.decoder import decode_annexb
+    want, errors = lavc_decode(s, cw, ch)
+    assert not errors, errors[:2]
+    got = decode_annexb(s)
+    assert got[0][0].shape == (ch, cw)
+    for i in range(len(frames)):
+        for p in range(3):
+            assert np.array_equal(got[i][p], want[i][p]), (i, p)
+
+
+def test_poc_type_1():
+    """POC type 1 (spec 8.2.1.2): an IPPP stream rewritten with a
+    type-1 SPS (always_zero, cycle offsets (2,)) decodes identically —
+    cross-checked against libavcodec on the same rewritten stream."""
+    from tpu264.bits import nal as N
+    from tpu264.bits.params import SPS
+    from tpu264.config import EncoderConfig
+    from tpu264.coding.encoder import Encoder
+    from tpu264.decode.decoder import decode_annexb
+    from tpu264.media.synth import synth_frame
+    frames = [synth_frame(W, H, t) for t in range(5)]
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=30,
+                                intra_period=0), gop_mode="ippp")
+    stream = enc.encode_sequence(frames)
+    sps1 = SPS.parse_rbsp(next(rb for _, nt, rb in N.split_annexb(stream)
+                               if nt == N.NAL_SPS))
+    sps1.pic_order_cnt_type = 1
+    sps1.delta_pic_order_always_zero_flag = 1
+    sps1.offsets_for_ref_frame = (2,)
+    pieces = [N.make_nalu(3, N.NAL_SPS, sps1.write_rbsp())
+              if nt == N.NAL_SPS else N.make_nalu(ri, nt, rb)
+              for ri, nt, rb in N.split_annexb(stream)]
+    s1 = b"".join(pieces)
+    got = decode_annexb(s1)
+    want, errors = lavc_decode(s1, W, H)
+    assert not errors, errors[:2]
+    for i in range(len(frames)):
+        assert np.array_equal(got[i][0],
+                              np.asarray(enc.recons[i][0])), i
+        assert np.array_equal(want[i][0],
+                              np.asarray(enc.recons[i][0])), ("lavc", i)

@@ -234,3 +234,51 @@ def test_mmco5_reset_hand_built():
             np.testing.assert_array_equal(
                 want[i][j], np.asarray(enc.recons[i][j]),
                 err_msg=f"lavc {i} plane {j}")
+
+
+@pytest.mark.parametrize("sym", ["CAVLC", "CABAC"])
+def test_p8x8_sub_mb_tree_roundtrip(sym):
+    """P_8x8 sub-MB tree (sub_mb_type = P_L0_8x8, one MV per quadrant;
+    VERDICT r4 task #3): quadrant MVs must actually be selected, and
+    the stream must be bit-exact through lavc AND our decoder with
+    deblocking on (exact spec-8.4.1.3 quadrant predictors + per-4x4
+    deblock bS grids), under BOTH entropy coders (CABAC: Table 9-37
+    '001' prefix, sub_mb_type ctx 21, per-quadrant 9.3.3.1.1.7 mvd
+    context cells)."""
+    import numpy as np
+    from lavc_util import lavc_decode
+    from tpu264.coding.intra_frame import reorder_wave_outputs_j
+    from tpu264.decode.decoder import decode_annexb
+    W2, H2 = 112, 80
+    frames = [synth_frame(W2, H2, t) for t in range(5)]
+    cfg = EncoderConfig(width=W2, height=H2, qp=30, intra_period=0,
+                        deblock=True, symbol_mode=sym)
+    enc = Encoder(cfg)
+    assert enc.p8x8
+    orig_p = enc._encode_p
+    n_p8 = []
+
+    def spy(*a, **k):
+        out, ys = orig_p(*a, **k)
+        mbd = reorder_wave_outputs_j(enc.sched, ys)
+        pt = np.asarray(mbd["ptype"])
+        ii = np.asarray(mbd["is_inter"])
+        n_p8.append(int(((pt == 3) & ii).sum()))
+        return out, ys
+
+    enc._encode_p = spy
+    stream = enc.encode_sequence(frames)
+    assert sum(n_p8) > 0, "no P_8x8 MB selected on this clip"
+    dec, errors = lavc_decode(stream, W2, H2)
+    assert not errors, errors[:2]
+    for i, (dy, du, dv) in enumerate(dec):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i
+        assert np.array_equal(
+            du, np.asarray(enc.recons[i][1]).astype(np.uint8)), i
+        assert np.array_equal(
+            dv, np.asarray(enc.recons[i][2]).astype(np.uint8)), i
+    own = decode_annexb(stream)
+    for i, (dy, du, dv) in enumerate(own):
+        assert np.array_equal(
+            dy, np.asarray(enc.recons[i][0]).astype(np.uint8)), i

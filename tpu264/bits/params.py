@@ -115,6 +115,13 @@ class SPS:
     log2_max_frame_num: int = 8       # log2_max_frame_num_minus4 + 4
     pic_order_cnt_type: int = 2
     log2_max_pic_order_cnt_lsb: int = 8   # used when poc type 0
+    # poc type 1 (spec 8.2.1.2) parameters
+    delta_pic_order_always_zero_flag: int = 1
+    offset_for_non_ref_pic: int = 0
+    offsets_for_ref_frame: tuple = ()
+    # frame cropping (spec 7.4.2.1.1): (left, right, top, bottom) in
+    # chroma units (4:2:0 frame: luma crop = 2x) or None
+    crop: tuple | None = None
     max_num_ref_frames: int = 1
     qpprime_y_zero_transform_bypass_flag: int = 0  # lossless (prof 244)
     scaling_w4: object = None         # [6][4,4] weightScale or None=flat
@@ -154,7 +161,12 @@ class SPS:
         if self.pic_order_cnt_type == 0:
             write_ue(s, self.log2_max_pic_order_cnt_lsb - 4)
         elif self.pic_order_cnt_type == 1:
-            raise NotImplementedError("poc type 1")
+            s.put(self.delta_pic_order_always_zero_flag, 1)
+            write_se(s, self.offset_for_non_ref_pic)
+            write_se(s, 0)            # offset_for_top_to_bottom_field
+            write_ue(s, len(self.offsets_for_ref_frame))
+            for off in self.offsets_for_ref_frame:
+                write_se(s, off)
         write_ue(s, self.max_num_ref_frames)
         s.put(self.gaps_in_frame_num_allowed, 1)
         write_ue(s, self.pic_width_in_mbs - 1)
@@ -209,7 +221,12 @@ class SPS:
         if sps.pic_order_cnt_type == 0:
             sps.log2_max_pic_order_cnt_lsb = read_ue(r) + 4
         elif sps.pic_order_cnt_type == 1:
-            raise NotImplementedError("poc type 1")
+            sps.delta_pic_order_always_zero_flag = r.read(1)
+            sps.offset_for_non_ref_pic = read_se(r)
+            read_se(r)                # offset_for_top_to_bottom_field
+            n_cycle = read_ue(r)
+            sps.offsets_for_ref_frame = tuple(
+                read_se(r) for _ in range(n_cycle))
         sps.max_num_ref_frames = read_ue(r)
         sps.gaps_in_frame_num_allowed = r.read(1)
         sps.pic_width_in_mbs = read_ue(r) + 1
@@ -219,7 +236,7 @@ class SPS:
             raise NotImplementedError("interlace is out of scope")
         sps.direct_8x8_inference_flag = r.read(1)
         if r.read(1):                 # frame_cropping_flag
-            raise NotImplementedError("cropping")
+            sps.crop = (read_ue(r), read_ue(r), read_ue(r), read_ue(r))
         # ignore VUI if present
         return sps
 

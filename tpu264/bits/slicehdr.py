@@ -29,6 +29,7 @@ class SliceHeader:
     frame_num: int = 0
     idr_pic_id: int = 0
     pic_order_cnt_lsb: int = 0
+    delta_pic_order_cnt0: int = 0     # poc type 1, !always_zero
     num_ref_idx_l0_active: int = 1       # after per-slice override
     num_ref_idx_l1_active: int = 1
     slice_qp: int = 26
@@ -156,6 +157,11 @@ class SliceHeader:
             h.pic_order_cnt_lsb = r.read(sps.log2_max_pic_order_cnt_lsb)
             if pps.pic_order_present_flag:
                 raise NotImplementedError("delta_pic_order_cnt_bottom")
+        elif sps.pic_order_cnt_type == 1 \
+                and not sps.delta_pic_order_always_zero_flag:
+            h.delta_pic_order_cnt0 = read_se(r)
+            if pps.pic_order_present_flag:
+                raise NotImplementedError("delta_pic_order_cnt[1]")
         h.num_ref_idx_l0_active = pps.num_ref_idx_l0_active
         h.num_ref_idx_l1_active = pps.num_ref_idx_l1_active
         if h.slice_type == SLICE_B:

@@ -72,8 +72,13 @@ TB_PART = np.array(
 def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
                    search_range: int = 16, ref_prepadded: bool = False,
                    partitions: bool = False):
-    """fn(y,u,v, r0y,r0u,r0v, r1y,r1u,r1v, colzero, qp[, allow_parts])
-    -> (dev_out, ys).
+    """fn(y,u,v, r0y,r0u,r0v, r1y,r1u,r1v, colzero, colmixed, qp
+    [, allow_parts]) -> (dev_out, ys).
+
+    `colmixed` [n]: colocated MBs whose 4x4 cells disagree on
+    colZeroFlag (partitioned anchors) — the direct candidate is
+    disabled there (per-MB derivation would diverge from the decoder's
+    per-4x4 one).
 
     `ref_prepadded`: both refs arrive already PAD-extended (tiled path:
     real ppermute'd halo rows instead of edge replication).
@@ -157,6 +162,7 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
 
         # ---- spatial direct candidate (spec 8.4.1.2.2) ----
         colzero = x["colzero"]
+        colmixed = x["colmixed"]
         zero_pred = ~nb_use0 & ~nb_use1
         duse0 = zero_pred | nb_use0
         duse1 = zero_pred | nb_use1
@@ -179,6 +185,9 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         j1 = satd_of(pred1) + lam_me * (rb1 + TYPE_BITS[1])
         jbi = satd_of(pred_bi) + lam_me * (rb0 + rb1 + TYPE_BITS[2])
         jd = satd_of(pred_dir) + lam_me * 1          # ue(0): 1 bit, no mvd
+        # colocated cells disagree on colZeroFlag (partitioned anchor):
+        # the decoder derives direct per 4x4 — never choose direct there
+        jd = jnp.where(colmixed, jnp.asarray(2 ** 30, jd.dtype), jd)
 
         # ---- intra candidates ----
         mb4, modebuf, modes_zz, coeffs4, j4 = eval_i4x4(
@@ -407,8 +416,8 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         return (bd, mv0_map, ref0_map, mv1_map, ref1_map), ys
 
     @jax.jit
-    def encode(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero, qp,
-               allow_parts=np.True_):
+    def encode(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero, colmixed,
+               qp, allow_parts=np.True_):
         y = y.astype(jnp.int32)
         u = u.astype(jnp.int32)
         v = v.astype(jnp.int32)
@@ -458,6 +467,7 @@ def make_b_encoder(sched: WaveSchedule, chroma_qp_offset: int = 0,
         gy_all, gu_all, gv_all = tile_origin_xs(sched, y, u, v)
         xs_full = dict(xs, mv_me0=mvs[0][idx], mv_me1=mvs[1][idx],
                        colzero=colzero.astype(bool)[idx],
+                       colmixed=colmixed.astype(bool)[idx],
                        gy=gy_all, gu=gu_all, gv=gv_all)
         if partitions:
             for lx in range(2):

@@ -130,6 +130,38 @@ def build_params(cfg: EncoderConfig, gop_mode: str, t8: bool = False,
     return sps, pps, cabac
 
 
+def colstate_of(mbd):
+    """Per-MB colocated state for spatial direct (spec 8.4.1.2.2) from
+    a P frame's final decided maps: (colzero, colmixed) [n] bools.
+
+    colzero: every 4x4 cell of the MB has colZeroFlag = 1 (inter, ref 0,
+    |mv| <= 1 both components).  colmixed: the cells DISAGREE — a later
+    B frame must not choose direct/skip on that MB because its per-MB
+    direct derivation would diverge from the decoder's per-4x4 one.
+    16x16 MBs are never mixed; 16x8/8x16 use both partition mvs; P_8x8
+    uses all four quadrant mvs."""
+    is_inter = mbd["is_inter"].astype(bool)
+
+    def cz(m):
+        return (jnp.abs(jnp.asarray(m, jnp.int32)) <= 1).all(axis=1)
+
+    c0 = cz(mbd["mv"])
+    all_c = any_c = c0
+    if "ptype" in mbd:
+        pt = mbd["ptype"].astype(jnp.int32)
+        c1 = cz(mbd["mv2"])
+        two = (pt == 1) | (pt == 2)
+        all_c = jnp.where(two, c0 & c1, all_c)
+        any_c = jnp.where(two, c0 | c1, any_c)
+        if "mvq" in mbd:
+            cq = [cz(mbd["mvq"][:, i]) for i in range(4)]
+            all_c = jnp.where(pt == 3, cq[0] & cq[1] & cq[2] & cq[3],
+                              all_c)
+            any_c = jnp.where(pt == 3, cq[0] | cq[1] | cq[2] | cq[3],
+                              any_c)
+    return is_inter & all_c, is_inter & any_c & ~all_c
+
+
 def psnr(orig: np.ndarray, recon: np.ndarray) -> float:
     mse = np.mean((orig.astype(np.float64) - recon.astype(np.float64)) ** 2)
     if mse == 0:
@@ -169,18 +201,21 @@ class Encoder:
         self._encode_frame = make_intra_encoder(self.sched)
         self._encode_p = None
         self._encode_b = None
-        # 16x8/8x16 partitions: auto-on for IPPP (CAVLC and CABAC; the
-        # B engines still code 16x16-only)
+        # 16x8/8x16 + P_8x8 partitions: auto-on for IPPP and for the P
+        # anchors of B GOPs (both entropy coders); B direct/skip stays
+        # exact via the per-4x4 colocated-uniformity mask (colmixed)
         self.partitions = (cfg.inter_partitions
                            if cfg.inter_partitions is not None
-                           else gop_mode == "ippp")
-        forced_off = self.partitions and gop_mode != "ippp"
-        self.partitions = self.partitions and gop_mode == "ippp"
+                           else gop_mode in ("ippp", "bgop"))
+        forced_off = self.partitions and gop_mode not in ("ippp", "bgop")
+        self.partitions = (self.partitions
+                           and gop_mode in ("ippp", "bgop"))
         if forced_off and cfg.inter_partitions:
             import warnings
             warnings.warn(
                 "inter_partitions requested but only supported for "
-                "IPPP GOPs; encoding without partitions", stacklevel=2)
+                "IPPP / B GOPs; encoding without partitions",
+                stacklevel=2)
         # High-profile 8x8 transform: auto-on for IPPP and B GOPs (both
         # entropy coders); selection runs on P/anchor MBs, B slices
         # emit transform_size_8x8_flag = 0 (engines are 4x4-only there)
@@ -199,11 +234,14 @@ class Encoder:
         if self.t8_mode or self.wp_mode:
             self.sps, self.pps, self.cabac = build_params(
                 cfg, gop_mode, t8=self.t8_mode, wp=self.wp_mode)
+        # P_8x8 sub-MB tree (sub_mb_type = P_L0_8x8 per quadrant):
+        # follows the partitions rule for both entropy coders
+        self.p8x8 = self.partitions
         if gop_mode in ("ippp", "bgop"):
             self._encode_p = make_inter_encoder(
                 self.sched, search_range=cfg.search_range,
                 partitions=self.partitions, t8=self.t8_mode,
-                weighted=self.wp_mode)
+                weighted=self.wp_mode, p8x8=self.p8x8)
         # B 16x8/8x16 partitions: auto-on for B GOPs (restricted to
         # NON-REFERENCE Bs at encode time — see b_frame docstring)
         self.b_partitions = (gop_mode == "bgop"
@@ -437,20 +475,32 @@ class Encoder:
                 [jnp.where(use0, 0, -1), jnp.where(use1, 1, -1)],
                 axis=1).reshape(hm, wm, 2).astype(jnp.int32)
         elif p_motion is not None:
-            # 16x8/8x16 partitions: per-4x4 single-list motion grids
-            ptype, mv0, mv2p = p_motion
+            # 16x8/8x16/P_8x8 partitions: per-4x4 single-list grids
+            ptype, mv0, mv2p = p_motion[:3]
+            mvq = p_motion[3] if len(p_motion) > 3 else None
             m0 = jnp.where(is_inter[:, None], mv0, 0).reshape(hm, wm, 2)
             m2 = jnp.where(is_inter[:, None], mv2p, 0).reshape(hm, wm, 2)
             pt = ptype.reshape(hm, wm)
             rsel = (jnp.arange(hm * 4) % 4 >= 2)[:, None]
             csel = (jnp.arange(wm * 4) % 4 >= 2)[None, :]
             up = jnp.repeat
-            use2 = jnp.where(up(up(pt, 4, 0), 4, 1) == 1, rsel,
-                             jnp.where(up(up(pt, 4, 0), 4, 1) == 2, csel,
-                                       False))
+            pt4 = up(up(pt, 4, 0), 4, 1)
+            use2 = jnp.where(pt4 == 1, rsel,
+                             jnp.where(pt4 == 2, csel, False))
             mv_grid = jnp.where(use2[..., None],
                                 up(up(m2, 4, 0), 4, 1),
                                 up(up(m0, 4, 0), 4, 1))
+            if mvq is not None:
+                # P_8x8: quadrant index per 4x4 cell
+                mq = jnp.where(is_inter[:, None, None], mvq, 0)\
+                    .reshape(hm, wm, 4, 2)
+                qsel = (rsel.astype(jnp.int32) * 2
+                        + csel.astype(jnp.int32))       # [4hm, 4wm]
+                mq4 = up(up(mq, 4, 0), 4, 1)            # [4hm, 4wm, 4, 2]
+                mvq_grid = jnp.take_along_axis(
+                    mq4, qsel[..., None, None], axis=2)[..., 0, :]
+                mv_grid = jnp.where((pt4 == 3)[..., None], mvq_grid,
+                                    mv_grid)
             ref_grid = jnp.where(
                 up(up(is_inter.reshape(hm, wm), 4, 0), 4, 1), 0,
                 mvpred.INTRA)
@@ -726,6 +776,7 @@ class Encoder:
         disp_base = 0
         fn_of = {}                     # display idx -> frame_num (refs)
         cz_of = {}                     # display idx -> colZeroFlag [n] map
+        czm_of = {}                    # display idx -> col-mixed [n] map
         last_ref_fn = 0
         max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
         max_fn = 1 << self.sps.log2_max_frame_num
@@ -773,12 +824,14 @@ class Encoder:
                 nalus, recon = self.encode_b_frame(
                     y, u, v, self.recons[r0], self.recons[r1],
                     frame_num=fn, poc_lsb=poc, is_ref=is_ref,
-                    colzero=cz_of.get(r1), qp=qp)
+                    colzero=cz_of.get(r1), colmixed=czm_of.get(r1),
+                    qp=qp)
                 if is_ref:
                     fn_of[disp] = fn
                     last_ref_fn = fn
                     fn = (fn + 1) % max_fn
             cz_of[disp] = self._last_colzero
+            czm_of[disp] = self._last_colmixed
             out.extend(nalus)
             self.recons[disp] = recon
             bits = sum(8 * len(b) for b in nalus)
@@ -800,24 +853,30 @@ class Encoder:
 
     def encode_b_frame(self, y, u, v, ref0, ref1, frame_num: int,
                        poc_lsb: int, qp: int | None = None,
-                       is_ref: bool = False, colzero=None):
+                       is_ref: bool = False, colzero=None,
+                       colmixed=None):
         """Encode one B frame against (past, future) recon refs with
         in-loop deblocking per the config (two-list bS, spec 8.7.2.1).
 
         `colzero`: [n_mbs] bool — per-MB colZeroFlag input derived from
         the list1 reference's stored motion (spatial direct, spec
-        8.4.1.2.2); None disables the zeroing (treated all-False)."""
+        8.4.1.2.2); None disables the zeroing (treated all-False).
+        `colmixed`: [n_mbs] bool — colocated MBs whose 4x4 cells
+        disagree on colZeroFlag (partitioned anchors); direct/skip is
+        never chosen there so the per-MB derivation stays exact."""
         cfg = self.cfg
         n_mbs = cfg.width_mbs * cfg.height_mbs
         if qp is None:
             qp = cfg.qp_inter
         if colzero is None:
             colzero = jnp.zeros(n_mbs, dtype=bool)
+        if colmixed is None:
+            colmixed = jnp.zeros(n_mbs, dtype=bool)
         yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         self._dev_orig = (yd, ud, vd)
         args = (yd, ud, vd, ref0[0], ref0[1], ref0[2],
                 ref1[0], ref1[1], ref1[2], jnp.asarray(colzero),
-                np.int32(qp))
+                jnp.asarray(colmixed), np.int32(qp))
         if self.b_partitions:
             # partitions only on non-reference Bs (per-MB colZeroFlag
             # plumbing needs MB-constant colocated motion)
@@ -866,6 +925,9 @@ class Encoder:
             mv = xp.where(use0[:, None], mb["mv0"], mb["mv1"])
             self._last_colzero = ((use0 | use1)
                                   & (xp.abs(mv) <= 1).all(axis=1))
+            # reference Bs are 16x16/direct/intra only (allow_parts
+            # off) -> never cell-mixed as a colocated picture
+            self._last_colmixed = xp.zeros(mv.shape[0], dtype=bool)
 
         if self.cabac:
             mbd = reorder_wave_outputs_j(self.sched, ys)
@@ -933,6 +995,7 @@ class Encoder:
         # all-intra picture: colZeroFlag never set over it (refIdxCol -1)
         self._last_colzero = np.zeros(cfg.width_mbs * cfg.height_mbs,
                                       dtype=bool)
+        self._last_colmixed = self._last_colzero
         slice_rows = self.sched.slice_starts.tolist()
 
         def hdr_sink(s):
@@ -1048,15 +1111,15 @@ class Encoder:
         if self.cabac:
             mbd = reorder_wave_outputs_j(self.sched, ys)
             recs = self._crec["p"](mbd)       # async device dispatch
-            self._last_colzero = (
-                mbd["is_inter"].astype(bool)
-                & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
+            self._last_colzero, self._last_colmixed = colstate_of(mbd)
             if cfg.deblock:
                 pm = None
                 if "ptype" in mbd:
                     pm = (mbd["ptype"].astype(jnp.int32),
                           mbd["mv"].astype(jnp.int32),
                           mbd["mv2"].astype(jnp.int32))
+                    if "mvq" in mbd:
+                        pm = pm + (mbd["mvq"].astype(jnp.int32),)
                 recon = self._apply_deblock_j(
                     dev_out, mbd, qp,
                     is_inter=mbd["is_inter"].astype(bool),
@@ -1082,15 +1145,15 @@ class Encoder:
 
         mbd = reorder_wave_outputs_j(self.sched, ys)
         words, nbits, skipped_d = self._ser_p(mbd)
-        self._last_colzero = (
-            mbd["is_inter"].astype(bool)
-            & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
+        self._last_colzero, self._last_colmixed = colstate_of(mbd)
         if cfg.deblock:
             pm = None
             if "ptype" in mbd:
                 pm = (mbd["ptype"].astype(jnp.int32),
                       mbd["mv"].astype(jnp.int32),
                       mbd["mv2"].astype(jnp.int32))
+                if "mvq" in mbd:
+                    pm = pm + (mbd["mvq"].astype(jnp.int32),)
             recon_d = self._apply_deblock_j(
                 dev_out, mbd, qp,
                 is_inter=mbd["is_inter"].astype(bool),

@@ -53,7 +53,7 @@ def make_inter_encoder(sched: WaveSchedule,
                        chroma_qp_offset: int = 0, search_range: int = 16,
                        ref_prepadded: bool = False,
                        partitions: bool = False, t8: bool = False,
-                       weighted: bool = False):
+                       weighted: bool = False, p8x8: bool = False):
     """Build a jitted P-frame encoder: fn(y,u,v, ref_y,ref_u,ref_v, qp).
 
     qp is a traced scalar (rate control varies it per frame).
@@ -62,6 +62,9 @@ def make_inter_encoder(sched: WaveSchedule,
     of edge replication — SURVEY.md §2c ref-pixel collectives).
     `partitions`: adds 16x8 / 8x16 candidates (per-half ME sweeps +
     partition mode decision; ys gains ptype / mv2).
+    `p8x8`: adds the P_8x8 sub-MB candidate (sub_mb_type = P_L0_8x8:
+    one MV per 8x8 quadrant, per-quadrant ME sweeps; ys gains
+    mvq [B, 4, 2] and ptype value 3).  Requires `partitions`.
     `t8`: High-profile transform_size_8x8_flag selection for 16x16
     inter MBs — both transforms are evaluated batched and the per-MB
     winner picked by SSD + lambda * coefficient-bits (ys gains t8;
@@ -73,6 +76,8 @@ def make_inter_encoder(sched: WaveSchedule,
     decoder computes), and motion search runs against a pre-weighted
     reference so fades do not defeat the SAD sweep.  Chroma keeps
     default weights."""
+    if p8x8 and not partitions:
+        raise ValueError("p8x8 requires partitions")
     wm, hm = sched.width_mbs, sched.height_mbs
     h, w = hm * 16, wm * 16
     cqp_off = chroma_qp_offset
@@ -202,6 +207,39 @@ def make_inter_encoder(sched: WaveSchedule,
                                 jnp.where(use_8x16[:, None], mvR,
                                           mv2_sel))
 
+        mvq_sel = None
+        if p8x8:
+            # ---- P_8x8 candidate: one MV per 8x8 quadrant ----
+            mvQ = [x[f"mv_q{i}"] for i in range(4)]
+            p8 = jnp.concatenate([
+                jnp.concatenate(
+                    [wl(kint.mc_luma(planes, y0, x0, mvQ[0], bh=8, bw=8)),
+                     wl(kint.mc_luma(planes, y0, x0 + 8, mvQ[1],
+                                     bh=8, bw=8))], axis=2),
+                jnp.concatenate(
+                    [wl(kint.mc_luma(planes, y0 + 8, x0, mvQ[2],
+                                     bh=8, bw=8)),
+                     wl(kint.mc_luma(planes, y0 + 8, x0 + 8, mvQ[3],
+                                     bh=8, bw=8))], axis=2)], axis=1)
+            diff8 = gy - p8
+            blk8s = diff8.reshape(b, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+            satd8s = kt.satd4x4(blk8s).sum(axis=(1, 2))
+            # rate estimate: q0 vs the MB predictor, later quadrants vs
+            # their raster-order sibling (the exact spec-8.4.1.3
+            # predictors are recomputed by the serializer/decoder);
+            # + ue(mb_type=3) + 4x ue(sub_mb_type=0) = 9 header bits
+            j_p8 = satd8s + lam_me * (
+                mvd_bits(mvQ[0] - mv_pred) + mvd_bits(mvQ[1] - mvQ[0])
+                + mvd_bits(mvQ[2] - mvQ[0]) + mvd_bits(mvQ[3] - mvQ[1])
+                + 9)
+            use_p8 = j_p8 < j_inter
+            ptype = jnp.where(use_p8, 3, ptype)
+            pred_inter = jnp.where(use_p8[:, None, None], p8, pred_inter)
+            j_inter = jnp.minimum(j_inter, j_p8)
+            mv_sel = jnp.where(use_p8[:, None], mvQ[0], mv_sel)
+            mv2_sel = jnp.where(use_p8[:, None], mvQ[1], mv2_sel)
+            mvq_sel = jnp.stack(mvQ, axis=1)          # [B, 4, 2]
+
         # ---- intra candidates (shared machinery) ----
         mb4, modebuf, modes_zz, coeffs4, j4 = eval_i4x4(
             gy, ltop, lleft, modes_top, modes_left, at, al, atl, atr,
@@ -297,6 +335,25 @@ def make_inter_encoder(sched: WaveSchedule,
             cpred_v = jnp.where(
                 use_16x8[:, None, None], for_v[0],
                 jnp.where(use_8x16[:, None, None], for_v[1], cpred_v))
+        if p8x8:
+            # per-quadrant 4x4 chroma MC overrides the two-partition
+            # chain (ptype == 3 is decided after 16x8/8x16)
+            def cquad(cpad):
+                return jnp.concatenate([
+                    jnp.concatenate(
+                        [kint.mc_chroma(cpad, cy0, cx0, mvQ[0],
+                                        bh=4, bw=4),
+                         kint.mc_chroma(cpad, cy0, cx0 + 4, mvQ[1],
+                                        bh=4, bw=4)], axis=2),
+                    jnp.concatenate(
+                        [kint.mc_chroma(cpad, cy0 + 4, cx0, mvQ[2],
+                                        bh=4, bw=4),
+                         kint.mc_chroma(cpad, cy0 + 4, cx0 + 4, mvQ[3],
+                                        bh=4, bw=4)], axis=2)], axis=1)
+
+            on8 = (ptype == 3)[:, None, None]
+            cpred_u = jnp.where(on8, cquad(cu_pad), cpred_u)
+            cpred_v = jnp.where(on8, cquad(cv_pad), cpred_v)
         inter_u = chroma_residual_recon(gu, cpred_u, cqp, intra=False)
         inter_v = chroma_residual_recon(gv, cpred_v, cqp, intra=False)
         chroma = []
@@ -318,6 +375,12 @@ def make_inter_encoder(sched: WaveSchedule,
         mv_tr = jnp.where((ptype == 2)[:, None], mv2_sel, mv_sel)
         mv_bl = jnp.where((ptype == 1)[:, None], mv2_sel, mv_sel)
         mv_br = jnp.where((ptype > 0)[:, None], mv2_sel, mv_sel)
+        if p8x8:
+            # P_8x8 quadrant cells: tr <- q1, bl <- q2, br <- q3
+            on8v = (ptype == 3)[:, None]
+            mv_tr = jnp.where(on8v, mvq_sel[:, 1], mv_tr)
+            mv_bl = jnp.where(on8v, mvq_sel[:, 2], mv_bl)
+            mv_br = jnp.where(on8v, mvq_sel[:, 3], mv_br)
         ref_cell = jnp.where(is_inter, 0, mvpred.INTRA)
         for ch, mvv in ((CH_TR, mv_tr), (CH_BL, mv_bl), (CH_BR, mv_br)):
             mv_map = mv_map.at[ch, r + 1, c + 1].set(
@@ -335,6 +398,8 @@ def make_inter_encoder(sched: WaveSchedule,
         if partitions:
             ys["ptype"] = jnp.where(is_inter, ptype, 0)
             ys["mv2"] = mv2_sel
+        if p8x8:
+            ys["mvq"] = mvq_sel
         if t8:
             ys["t8"] = t8_sel
         return (bd, mv_map, ref_map), ys
@@ -390,6 +455,14 @@ def make_inter_encoder(sched: WaveSchedule,
                                         lam_me, wm, hm, oy=py_, ox=px_,
                                         bh=bh, bw=bw)
                 xs_full[f"mv_{key}"] = mvq[idx]
+        if p8x8:
+            quads = kme.full_search_quads(y, me_ref, PAD, rng, lam_me,
+                                          wm, hm)
+            for q in range(4):
+                mvqq = kme.subpel_refine(
+                    y, me_planes, PAD, quads[f"q{q}"], lam_me, wm, hm,
+                    oy=(q // 2) * 8, ox=(q % 2) * 8, bh=8, bw=8)
+                xs_full[f"mv_q{q}"] = mvqq[idx]
         carry, ys = jax.lax.scan(
             lambda cr, xx: wave_body(planes, cu_pad, cv_pad, qp, cqp,
                                      lam4, lam24, lam_me, wy, oy, cr, xx),

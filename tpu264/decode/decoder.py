@@ -154,6 +154,9 @@ class Decoder:
         # poc type 0 state (spec 8.2.1.1)
         self._prev_poc_msb = 0
         self._prev_poc_lsb = 0
+        # poc type 1 state (spec 8.2.1.2)
+        self._prev_frame_num_offset = 0
+        self._prev_frame_num = 0
 
     # ------------------------------------------------------------- NAL
 
@@ -196,9 +199,22 @@ class Decoder:
                 self._deblock_picture(pic)
             planes = (pic.y.astype(np.uint8), pic.u.astype(np.uint8),
                       pic.v.astype(np.uint8))
+            out_planes = planes
+            if self.sps.crop is not None:
+                # frame cropping applies to OUTPUT only (references stay
+                # full-size); 4:2:0 frame: luma units = 2x chroma units
+                cl, cr, ct, cb = self.sps.crop
+
+                def cropped(p, s):
+                    hh, ww = p.shape
+                    return p[s * ct: hh - s * cb, s * cl: ww - s * cr]
+
+                out_planes = (cropped(planes[0], 2),
+                              cropped(planes[1], 1),
+                              cropped(planes[2], 1))
             # poc type 2: output order == decode order (poc key = seq)
             key = self._seq if self.sps.pic_order_cnt_type == 2 else pic.poc
-            self._out.append((self._epoch, key, self._seq, planes))
+            self._out.append((self._epoch, key, self._seq, out_planes))
             self._seq += 1
             if pic.is_ref:
                 # colocated motion (spec 8.4.1.2.2): list0 where used,
@@ -350,8 +366,10 @@ class Decoder:
     # --------------------------------------------------------- POC / lists
 
     def _compute_poc(self, hdr) -> int:
-        """PicOrderCnt for poc type 0 (spec 8.2.1.1) / type 2 (decode
-        order proxy)."""
+        """PicOrderCnt for poc type 0 (spec 8.2.1.1), type 1 (8.2.1.2)
+        and type 2 (decode order proxy)."""
+        if self.sps.pic_order_cnt_type == 1:
+            return self._compute_poc1(hdr)
         if self.sps.pic_order_cnt_type != 0:
             return 0
         max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
@@ -369,6 +387,34 @@ class Decoder:
         if hdr.nal_ref_idc != 0:
             self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
         return msb + lsb
+
+    def _compute_poc1(self, hdr) -> int:
+        """PicOrderCnt for poc type 1 (spec 8.2.1.2), frame pictures."""
+        sps = self.sps
+        max_fn = 1 << sps.log2_max_frame_num
+        if hdr.is_idr:
+            offset = 0
+        elif self._prev_frame_num > hdr.frame_num:
+            offset = self._prev_frame_num_offset + max_fn
+        else:
+            offset = self._prev_frame_num_offset
+        self._prev_frame_num_offset = offset
+        self._prev_frame_num = hdr.frame_num
+        cycle = sps.offsets_for_ref_frame
+        n_cycle = len(cycle)
+        abs_fn = offset + hdr.frame_num if n_cycle else 0
+        if hdr.nal_ref_idc == 0 and abs_fn > 0:
+            abs_fn -= 1
+        if abs_fn > 0:
+            per_cycle = sum(cycle)
+            cycles = (abs_fn - 1) // n_cycle
+            in_cycle = (abs_fn - 1) % n_cycle
+            expected = cycles * per_cycle + sum(cycle[:in_cycle + 1])
+        else:
+            expected = 0
+        if hdr.nal_ref_idc == 0:
+            expected += sps.offset_for_non_ref_pic
+        return expected + hdr.delta_pic_order_cnt0
 
     def _build_ref_lists(self, hdr, poc: int):
         """Default reference list construction (spec 8.2.4.2: short-term

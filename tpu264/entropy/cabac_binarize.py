@@ -292,11 +292,21 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
             return mv - pred
 
     parts_mode = p_slice and "ptype" in mb
+    p8x8_mode = parts_mode and "mvq" in mb
     ptype = np.zeros(n, np.int64)
     mvd1 = np.zeros((n, 2), np.int64)
+    mvdq = None
     if p_slice:
         mv = np.asarray(mb["mv"], np.int64)
-        if parts_mode:
+        if p8x8_mode:
+            # + P_8x8 quadrants (q0/q1 merged into mvd0/mvd1)
+            from .device_cavlc import _partition_mvds_j
+            ptype = np.asarray(mb["ptype"], np.int64)
+            d0, d1, dq, _ = _partition_mvds_j(mb, wm, hm, slice_rows)
+            mvds[0] = np.asarray(d0, np.int64)
+            mvd1 = np.asarray(d1, np.int64)
+            mvdq = np.asarray(dq, np.int64)
+        elif parts_mode:
             # 16x8 / 8x16 partitions: per-partition mvds from the exact
             # spec-8.4.1.3 derivation shared with the CAVLC serializer
             # (single source of truth; jnp runs fine on host arrays)
@@ -442,12 +452,18 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
     elif p_slice:
         grid.ctx_bin(14, intra_cur.astype(np.int32), coded)
         inter_coded = coded & is_inter
-        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16
-        # (bin2 ctx is 16 after b1=0, 17 after b1=1)
+        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16,
+        # '001'=P_8x8 (bin2 ctx is 16 after b1=0, 17 after b1=1)
         pb1 = (ptype == 1) | (ptype == 2)
         grid.ctx_bin(15, pb1.astype(np.int32), inter_coded)
         grid.ctx_bin(np.where(pb1, 17, 16),
-                     (ptype == 1).astype(np.int32), inter_coded)
+                     ((ptype == 1) | (ptype == 3)).astype(np.int32),
+                     inter_coded)
+        if p8x8_mode:
+            # sub_mb_type x4: P_L0_8x8 = '1' (ctx 21, Table 9-38)
+            on_sub = inter_coded & (ptype == 3)
+            for _ in range(4):
+                grid.ctx_bin(21, 1, on_sub)
         first_ctx = np.full(n, 17, np.int32)
         rest = (18, 19, 19, 20, 20)
     else:
@@ -518,17 +534,25 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
         if parts_mode:
             on0 = coded & is_inter
             on1 = on0 & (ptype > 0)
+            onq = on0 & (ptype == 3)
             a0 = np.where(on0[:, None], np.abs(mvds[0]), 0)
             a1 = np.where(on1[:, None], np.abs(mvd1), 0)
             # |mvd| at the boundary 4x4 cells later partitions consult:
             # tr (row 0, right col), bl (bottom row, col 0), br (bottom
-            # row, right col) — same channel semantics as the MVP maps
-            tr_g = np.where((ptype == 2)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
-            bl_g = np.where((ptype == 1)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
-            br_g = np.where((ptype > 0)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
+            # row, right col) — same channel semantics as the MVP maps.
+            # P_8x8 quadrant cells: tr <- q1 (== mvd1 row), bl <- q2,
+            # br <- q3
+            tr_g = np.where(((ptype == 2) | (ptype == 3))[:, None],
+                            a1, a0).reshape(hm, wm, 2)
+            bl_cell = np.where((ptype == 1)[:, None], a1, a0)
+            br_cell = np.where((ptype > 0)[:, None], a1, a0)
+            if p8x8_mode:
+                a2 = np.where(onq[:, None], np.abs(mvdq[:, 2]), 0)
+                a3 = np.where(onq[:, None], np.abs(mvdq[:, 3]), 0)
+                bl_cell = np.where((ptype == 3)[:, None], a2, bl_cell)
+                br_cell = np.where((ptype == 3)[:, None], a3, br_cell)
+            bl_g = bl_cell.reshape(hm, wm, 2)
+            br_g = br_cell.reshape(hm, wm, 2)
 
             def s_p0(comp):
                 # part0 top-left cell: A = left MB row-0 right cell (tr),
@@ -542,6 +566,8 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
                 #              B = own part0
                 # 8x16 right:  A = own part0,
                 #              B = top MB bottom cell col 2 (br)
+                # P_8x8 q1:    A = own q0,
+                #              B = top MB bottom cell col 2 (br)
                 lbr = np.where(av_l, left(br_g[:, :, comp]), 0)\
                     .reshape(n)
                 tbr = np.where(av_t, top(br_g[:, :, comp]), 0)\
@@ -551,6 +577,19 @@ def binarize_frame(mb, wm: int, hm: int, slice_rows, qp: int,
 
             emit_mvd(mvds[0], s_p0, on0)
             emit_mvd(mvd1, s_p1, on1)
+            if p8x8_mode:
+                def s_q2(comp):
+                    # q2: A = left MB rows-2/3 right cell (br), B = own q0
+                    lbr = np.where(av_l, left(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    return lbr + a0[:, comp]
+
+                def s_q3(comp):
+                    # q3: A = own q2, B = own q1
+                    return a2[:, comp] + a1[:, comp]
+
+                emit_mvd(mvdq[:, 2], s_q2, onq)
+                emit_mvd(mvdq[:, 3], s_q3, onq)
         elif b_parts:
             exps = ((exp0, exp0b), (exp1, exp1b))
             for lx in range(2):

@@ -312,11 +312,19 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
             return mv - pred
 
     parts_mode = p_slice and "ptype" in mb
+    p8x8_mode = parts_mode and "mvq" in mb
     ptype = jnp.zeros(n, jnp.int32)
     mvd1 = jnp.zeros((n, 2), jnp.int32)
+    mvdq = None
     if p_slice:
         mv = jnp.asarray(mb["mv"], jnp.int32)
-        if parts_mode:
+        if p8x8_mode:
+            # + P_8x8 quadrants (q0/q1 merged into mvd0/mvd1)
+            from .device_cavlc import _partition_mvds_j
+            ptype = jnp.asarray(mb["ptype"], jnp.int32)
+            mvds[0], mvd1, mvdq, _ = _partition_mvds_j(mb, wm, hm,
+                                                       slice_rows)
+        elif parts_mode:
             # 16x8 / 8x16 partitions: per-partition mvds from the exact
             # spec-8.4.1.3 derivation shared with the CAVLC serializer
             from .device_cavlc import _partition_mvds_j
@@ -460,12 +468,18 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
     elif p_slice:
         grid.ctx_bin(14, intra_cur.astype(jnp.int32), coded)
         inter_coded = coded & is_inter
-        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16
-        # (bin2 ctx is 16 after b1=0, 17 after b1=1)
+        # Table 9-37 P prefix: '000'=16x16, '011'=16x8, '010'=8x16,
+        # '001'=P_8x8 (bin2 ctx is 16 after b1=0, 17 after b1=1)
         pb1 = (ptype == 1) | (ptype == 2)
         grid.ctx_bin(15, pb1.astype(jnp.int32), inter_coded)
         grid.ctx_bin(jnp.where(pb1, 17, 16),
-                     (ptype == 1).astype(jnp.int32), inter_coded)
+                     ((ptype == 1) | (ptype == 3)).astype(jnp.int32),
+                     inter_coded)
+        if p8x8_mode:
+            # sub_mb_type x4: P_L0_8x8 = '1' (ctx 21, Table 9-38)
+            on_sub = inter_coded & (ptype == 3)
+            for _ in range(4):
+                grid.ctx_bin(21, 1, on_sub)
         first_ctx = jnp.full(n, 17, jnp.int32)
         rest = (18, 19, 19, 20, 20)
     else:
@@ -538,17 +552,25 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
         if parts_mode:
             on0 = coded & is_inter
             on1 = on0 & (ptype > 0)
+            onq = on0 & (ptype == 3)
             a0 = jnp.where(on0[:, None], jnp.abs(mvds[0]), 0)
             a1 = jnp.where(on1[:, None], jnp.abs(mvd1), 0)
             # |mvd| at the boundary 4x4 cells later partitions consult:
             # tr (row 0, right col), bl (bottom row, col 0), br (bottom
-            # row, right col) — same channel semantics as the MVP maps
-            tr_g = jnp.where((ptype == 2)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
-            bl_g = jnp.where((ptype == 1)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
-            br_g = jnp.where((ptype > 0)[:, None], a1, a0)\
-                .reshape(hm, wm, 2)
+            # row, right col) — same channel semantics as the MVP maps.
+            # P_8x8 quadrant cells: tr <- q1 (== mvd1 row), bl <- q2,
+            # br <- q3
+            tr_g = jnp.where(((ptype == 2) | (ptype == 3))[:, None],
+                             a1, a0).reshape(hm, wm, 2)
+            bl_cell = jnp.where((ptype == 1)[:, None], a1, a0)
+            br_cell = jnp.where((ptype > 0)[:, None], a1, a0)
+            if p8x8_mode:
+                a2 = jnp.where(onq[:, None], jnp.abs(mvdq[:, 2]), 0)
+                a3 = jnp.where(onq[:, None], jnp.abs(mvdq[:, 3]), 0)
+                bl_cell = jnp.where((ptype == 3)[:, None], a2, bl_cell)
+                br_cell = jnp.where((ptype == 3)[:, None], a3, br_cell)
+            bl_g = bl_cell.reshape(hm, wm, 2)
+            br_g = br_cell.reshape(hm, wm, 2)
 
             def s_p0(comp):
                 # part0 top-left cell: A = left MB row-0 right cell (tr),
@@ -562,6 +584,8 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
                 #              B = own part0
                 # 8x16 right:  A = own part0,
                 #              B = top MB bottom cell col 2 (br)
+                # P_8x8 q1:    A = own q0,
+                #              B = top MB bottom cell col 2 (br)
                 lbr = jnp.where(av_l, left(br_g[:, :, comp]), 0)\
                     .reshape(n)
                 tbr = jnp.where(av_t, top(br_g[:, :, comp]), 0)\
@@ -571,6 +595,19 @@ def binarize_frame_j(mb, wm: int, hm: int, slice_rows, qp: int,
 
             emit_mvd(mvds[0], s_p0, on0)
             emit_mvd(mvd1, s_p1, on1)
+            if p8x8_mode:
+                def s_q2(comp):
+                    # q2: A = left MB rows-2/3 right cell (br), B = own q0
+                    lbr = jnp.where(av_l, left(br_g[:, :, comp]), 0)\
+                        .reshape(n)
+                    return lbr + a0[:, comp]
+
+                def s_q3(comp):
+                    # q3: A = own q2, B = own q1
+                    return a2[:, comp] + a1[:, comp]
+
+                emit_mvd(mvdq[:, 2], s_q2, onq)
+                emit_mvd(mvdq[:, 3], s_q3, onq)
         elif b_parts:
             exps = ((exp0, exp0b), (exp1, exp1b))
             for lx in range(2):

@@ -499,36 +499,45 @@ def _shift_nbrs_j(grid_tr, grid_bl, grid_br, ref_g, wm, hm, slice_rows):
 
 
 def _cell_grids2_j(ptype, mv_p0, mv_p1, use_p0, use_p1, is_inter,
-                   wm: int, hm: int):
+                   wm: int, hm: int, mvq=None):
     """Per-list boundary-cell grids with per-CHANNEL refs.
 
     Generalizes `_cell_grids_j` to lists a partition may not use (B
     slices): a cell covered by a partition that uses the list carries
     (mv, ref 0); covered by a non-using partition or an intra MB it
-    carries (0, INTRA) — spec 8.4.1.3 "refIdxLXN = -1" semantics."""
-    def cell(sel2):
+    carries (0, INTRA) — spec 8.4.1.3 "refIdxLXN = -1" semantics.
+    `mvq` [n, 4, 2]: P_8x8 quadrant mvs — on ptype == 3 the boundary
+    cells are tr <- q1, bl <- q2, br <- q3."""
+    def cell(sel2, qi):
         m = jnp.where(sel2[:, None], mv_p1, mv_p0)
+        if mvq is not None:
+            m = jnp.where((ptype == 3)[:, None], mvq[:, qi], m)
         use = jnp.where(sel2, use_p1, use_p0) & is_inter
         mvg = jnp.where(use[:, None], m, 0).reshape(hm, wm, 2)
         refg = jnp.where(use, 0, mvpred.INTRA).reshape(hm, wm)\
             .astype(jnp.int32)
         return mvg, refg
 
-    tr, ref_tr = cell(ptype == 2)
-    bl, ref_bl = cell(ptype == 1)
-    br, ref_br = cell(ptype > 0)
+    tr, ref_tr = cell(ptype == 2, 1)
+    bl, ref_bl = cell(ptype == 1, 2)
+    br, ref_br = cell(ptype > 0, 3)
     return tr, ref_tr, bl, ref_bl, br, ref_br
 
 
 def _partition_mvds_core_j(ptype, mv_p0, mv_p1, p0_ref,
                            tr, ref_tr, bl, ref_bl, br, ref_br,
-                           wm: int, hm: int, slice_rows):
+                           wm: int, hm: int, slice_rows, mvq=None):
     """Per-partition mvds from per-list channel grids — the decoder's
     spec-8.4.1.3 derivation incl. the 16x8/8x16 directional shortcuts.
 
     `p0_ref` [n]: the current MB's part0 ref FOR THIS LIST (0 when the
     partition uses the list, INTRA otherwise) — part1's within-MB
-    neighbors read it.  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16)."""
+    neighbors read it.  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16).
+    With `mvq` [n, 4, 2] (P_8x8 quadrant mvs): quadrant predictors use
+    the general median rule with raster-order sibling neighbors
+    (decoder `_mv_pred_part` on 8x8 shapes); ptype == 3 rows of
+    mvd0/mvd1 become q0/q1's mvds and the return gains
+    mvdq [n, 4, 2]: (mvd0, mvd1, mvdq, pred16)."""
     UN = mvpred.UNAVAIL
     z2 = jnp.zeros((hm, wm, 2), jnp.int32)
     un = jnp.full((hm, wm), UN, jnp.int32)
@@ -610,24 +619,51 @@ def _partition_mvds_core_j(ptype, mv_p0, mv_p1, p0_ref,
                                     mv_tbr, ref_tbr, mv_c1, ref_c1)
     p1_8x16 = jnp.where((ref_c1 == 0)[:, None], mv_c1, p1_8x16)
     pred1 = jnp.where((ptype == 1)[:, None], p1_16x8, p1_8x16)
-    return mv_p0 - pred0, mv_p1 - pred1, pred16
+    mvd0 = mv_p0 - pred0
+    mvd1 = mv_p1 - pred1
+    if mvq is None:
+        return mvd0, mvd1, pred16
+    # ---- P_8x8 quadrant predictors (general rule, 8x8 shapes) ----
+    zref = jnp.zeros(n, jnp.int32)       # within-MB siblings: ref 0
+    q0, q1, q2, q3 = (mvq[:, i] for i in range(4))
+    # q0: A = left tr, B = top bl, C = top br (D-subst -> topleft br)
+    pred_q0 = mvpred.predict_mv_jnp(mv_a, ref_a, mv_b, ref_b,
+                                    mv_c0, ref_c0)
+    # q1: A = q0, B = top br, C = top-right bl (D-subst -> top MB
+    # col 1, the bl channel)
+    mv_cq1 = jnp.where(use_d[:, None], mv_b, mv_c)
+    ref_cq1 = jnp.where(use_d, ref_b, ref_c)
+    pred_q1 = mvpred.predict_mv_jnp(q0, zref, mv_tbr, ref_tbr,
+                                    mv_cq1, ref_cq1)
+    # q2: A = left br, B = q0, C = q1
+    pred_q2 = mvpred.predict_mv_jnp(mv_lbr, ref_lbr, q0, zref, q1, zref)
+    # q3: A = q2, B = q1, C always unavailable -> D = q0
+    pred_q3 = mvpred.predict_mv_jnp(q2, zref, q1, zref, q0, zref)
+    on8 = (ptype == 3)[:, None]
+    mvdq = jnp.stack([q0 - pred_q0, q1 - pred_q1,
+                      q2 - pred_q2, q3 - pred_q3], axis=1)
+    mvd0 = jnp.where(on8, mvdq[:, 0], mvd0)
+    mvd1 = jnp.where(on8, mvdq[:, 1], mvd1)
+    return mvd0, mvd1, mvdq, pred16
 
 
 def _partition_mvds_j(mb, wm: int, hm: int, slice_rows):
     """Per-partition mvds for P ptype streams (every inter partition
-    uses list 0, ref 0).  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16)."""
+    uses list 0, ref 0).  Returns (mvd0 [n, 2], mvd1 [n, 2], pred16),
+    plus mvdq [n, 4, 2] before pred16 when mb carries "mvq" (P_8x8)."""
     n = wm * hm
     ptype = mb["ptype"].astype(jnp.int32)
     mv = mb["mv"].astype(jnp.int32)
     mv2 = mb["mv2"].astype(jnp.int32)
+    mvq = (mb["mvq"].astype(jnp.int32) if "mvq" in mb else None)
     is_inter = mb["is_inter"].astype(bool)
     ones = jnp.ones(n, bool)
     tr, ref_tr, bl, ref_bl, br, ref_br = _cell_grids2_j(
-        ptype, mv, mv2, ones, ones, is_inter, wm, hm)
+        ptype, mv, mv2, ones, ones, is_inter, wm, hm, mvq=mvq)
     p0_ref = jnp.where(is_inter, 0, mvpred.INTRA).astype(jnp.int32)
     return _partition_mvds_core_j(ptype, mv, mv2, p0_ref,
                                   tr, ref_tr, bl, ref_bl, br, ref_br,
-                                  wm, hm, slice_rows)
+                                  wm, hm, slice_rows, mvq=mvq)
 
 
 def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
@@ -635,16 +671,22 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
 
     When `mb` carries ptype/mv2 (16x8 / 8x16 partitions), the header
     gains the second partition's mvd slots and mb_type follows Table
-    7-13 (0/1/2).  Returns (values, lengths, skipped [n] bool).
+    7-13 (0/1/2).  With "mvq" (P_8x8, sub_mb_type = P_L0_8x8 on every
+    quadrant) the header additionally gains the sub_mb_type slot (four
+    ue(0) bits) and quadrant mvd slots.  Returns (values, lengths,
+    skipped [n] bool).
     """
     n = wm * hm
     parts_mode = "ptype" in mb
+    p8x8_mode = parts_mode and "mvq" in mb
     t8_mode = "t8" in mb
     ioff = 1 if t8_mode else 0
+    poff = 1 if p8x8_mode else 0
     is_inter = mb["is_inter"].astype(bool)
     sel16 = mb["sel16"].astype(bool) & ~is_inter
-    n_slots = MB_SLOTS_P + (2 if parts_mode else 0) + 2 * ioff
-    hdr_slots = HDR_SLOTS_P + (2 if parts_mode else 0) + 2 * ioff
+    extra = (2 if parts_mode else 0) + 2 * ioff + 5 * poff
+    n_slots = MB_SLOTS_P + extra
+    hdr_slots = HDR_SLOTS_P + extra
     vals = [jnp.zeros(n, jnp.int32)] * n_slots
     lens = [jnp.zeros(n, jnp.int32)] * n_slots
     luma_ac = mb["luma_ac"].astype(jnp.int32)
@@ -652,7 +694,12 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
         sel16, luma_ac, mb["chroma_dc"], mb["chroma_ac"])
 
     mv = mb["mv"].astype(jnp.int32)
-    if parts_mode:
+    mvdq = None
+    if p8x8_mode:
+        ptype = mb["ptype"].astype(jnp.int32)
+        mvd, mvd1, mvdq, mv_pred = _partition_mvds_j(mb, wm, hm,
+                                                     slice_rows)
+    elif parts_mode:
         ptype = mb["ptype"].astype(jnp.int32)
         mvd, mvd1, mv_pred = _partition_mvds_j(mb, wm, hm, slice_rows)
     else:
@@ -697,17 +744,25 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     lens[1] = jnp.where(coded, tl_, 0)
 
     is_i4 = coded & ~is_inter & ~sel16
+    inter_coded = coded & is_inter
+    if p8x8_mode:
+        # sub_mb_type x4, each ue(0) = '1' (P_L0_8x8), directly after
+        # mb_type (spec 7.3.5.2)
+        on8 = inter_coded & (ptype == 3)
+        vals[2] = jnp.where(on8, 15, 0)    # 0b1111
+        lens[2] = jnp.where(on8, 4, 0)
     if t8_mode:
-        lens[2] = jnp.where(is_i4, 1, 0)   # t8 flag = 0 for I_NxN
-    _i4_mode_slots_j(vals, lens, 2 + ioff, mb, is_i4, wm, hm, slice_rows)
+        lens[2 + poff] = jnp.where(is_i4, 1, 0)  # t8 flag = 0 for I_NxN
+    _i4_mode_slots_j(vals, lens, 2 + ioff + poff, mb, is_i4, wm, hm,
+                     slice_rows)
 
     cmc, cml = ue_code_j(mb["cmode"].astype(jnp.int32))
     intra_coded = coded & ~is_inter
-    vals[18 + ioff] = jnp.where(intra_coded, cmc.astype(jnp.int32), 0)
-    lens[18 + ioff] = jnp.where(intra_coded, cml, 0)
+    vals[18 + ioff + poff] = jnp.where(intra_coded,
+                                       cmc.astype(jnp.int32), 0)
+    lens[18 + ioff + poff] = jnp.where(intra_coded, cml, 0)
 
-    inter_coded = coded & is_inter
-    for k, comp in ((19 + ioff, 1), (20 + ioff, 0)):
+    for k, comp in ((19 + ioff + poff, 1), (20 + ioff + poff, 0)):
         code, ln = ue_code_j(se_to_ue_j(mvd[:, comp]))
         vals[k] = jnp.where(inter_coded, code.astype(jnp.int32), 0)
         lens[k] = jnp.where(inter_coded, ln, 0)
@@ -715,11 +770,21 @@ def serialize_frame_p_j(mb, wm: int, hm: int, slice_rows):
     if parts_mode:
         # second partition's mvd (x then y) right after part0's
         on1 = inter_coded & (ptype > 0)
-        for k, comp in ((21 + ioff, 1), (22 + ioff, 0)):
+        for k, comp in ((21 + ioff + poff, 1), (22 + ioff + poff, 0)):
             code, ln = ue_code_j(se_to_ue_j(mvd1[:, comp]))
             vals[k] = jnp.where(on1, code.astype(jnp.int32), 0)
             lens[k] = jnp.where(on1, ln, 0)
-        cbp_slot = 23 + ioff
+        cbp_slot = 23 + ioff + poff
+    if p8x8_mode:
+        # quadrants q2 / q3 (x then y each) after q1's slots
+        for k, qi, comp in ((23 + ioff + poff, 2, 1),
+                            (24 + ioff + poff, 2, 0),
+                            (25 + ioff + poff, 3, 1),
+                            (26 + ioff + poff, 3, 0)):
+            code, ln = ue_code_j(se_to_ue_j(mvdq[:, qi, comp]))
+            vals[k] = jnp.where(on8, code.astype(jnp.int32), 0)
+            lens[k] = jnp.where(on8, ln, 0)
+        cbp_slot = 27 + ioff + poff
 
     ci, li_ = ue_code_j(_jt("cbpi", mb_syntax.CBP_TO_CODENUM_INTRA)[cbp])
     cp, lp_ = ue_code_j(_jt("cbpp", mb_syntax.CBP_TO_CODENUM_INTER)[cbp])

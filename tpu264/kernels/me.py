@@ -153,6 +153,64 @@ def full_search_parts(orig_y, ref_pad, pad: int, search_range: int,
     return out
 
 
+def full_search_quads(orig_y, ref_pad, pad: int, search_range: int,
+                      lam: int, width_mbs: int, height_mbs: int):
+    """Integer full search for the four 8x8 quadrants of every MB
+    (P_8x8 sub-MB tree, sub_mb_type = 8x8).
+
+    Same window-anchored sweep as `full_search_parts` with 8x8 kernels;
+    quadrant q's SSD map reads the window at its (dy0, dx0) origin.
+    Returns {"q0".."q3": mv_int [n, 2]} in raster quadrant order.
+    """
+    r = search_range
+    n = width_mbs * height_mbs
+    mb_r = jnp.arange(n, dtype=jnp.int32) // width_mbs
+    mb_c = jnp.arange(n, dtype=jnp.int32) % width_mbs
+    win = 16 + 2 * r
+
+    def gwin(rr, cc):
+        return jax.lax.dynamic_slice(
+            ref_pad, (rr * 16 + pad - r, cc * 16 + pad - r), (win, win))
+
+    windows = jax.vmap(gwin)(mb_r, mb_c).astype(jnp.float32)
+
+    def gmb(rr, cc):
+        return jax.lax.dynamic_slice(orig_y, (rr * 16, cc * 16), (16, 16))
+
+    origs = jax.vmap(gmb)(mb_r, mb_c).astype(jnp.float32)
+
+    ones = jnp.ones((1, 1, 8, 8), jnp.float32)
+    w2 = jax.lax.conv_general_dilated(
+        (windows * windows)[:, None], ones,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]  # [n,2r+9,2r+9]
+
+    bits = jnp.asarray(mv_bits_table(r), dtype=jnp.float32)
+    prior = bits[None, :, None] + bits[None, None, :]
+    span = 2 * r + 1
+
+    out = {}
+    for q in range(4):
+        dy0, dx0 = (q // 2) * 8, (q % 2) * 8
+        blk = origs[:, dy0:dy0 + 8, dx0:dx0 + 8]
+        corr = jax.lax.conv_general_dilated(
+            windows[None], blk[:, None],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=n)[0]
+        c = jax.lax.dynamic_slice_in_dim(corr, dy0, span, 1)
+        c = jax.lax.dynamic_slice_in_dim(c, dx0, span, 2)
+        w = jax.lax.dynamic_slice_in_dim(w2, dy0, span, 1)
+        w = jax.lax.dynamic_slice_in_dim(w, dx0, span, 2)
+        o2 = (blk * blk).sum(axis=(1, 2))
+        ssd = w - 2.0 * c + o2[:, None, None]
+        flat = (ssd + lam * prior).reshape(n, -1)
+        best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+        out[f"q{q}"] = jnp.stack([best // span - r, best % span - r],
+                                 axis=1)
+    return out
+
+
 def subpel_refine(orig_y, planes, pad: int, mv_int, lam: int,
                   width_mbs: int, height_mbs: int,
                   oy: int = 0, ox: int = 0, bh: int = 16, bw: int = 16):

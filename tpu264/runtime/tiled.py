@@ -34,7 +34,8 @@ from tpu264.bits import nal as _nal
 from tpu264.bits.slicehdr import (SLICE_B as _SB, SLICE_I as _SI,
                                   SLICE_P as _SP, SliceHeader as _SliceHeader)
 from tpu264.coding.b_frame import make_b_encoder
-from tpu264.coding.encoder import build_bgop_plan, build_params
+from tpu264.coding.encoder import (build_bgop_plan, build_params,
+                                   colstate_of)
 from tpu264.coding.inter_frame import PAD as _PAD, make_inter_encoder
 from tpu264.coding.intra_frame import (make_intra_encoder,
                                        reorder_wave_outputs_j)
@@ -102,18 +103,21 @@ class TiledEncoder:
             self.gop_mode = "ippp"
         self.sps, self.pps, self.cabac = build_params(cfg, self.gop_mode)
         self._enc_i = make_intra_encoder(band_sched)
-        # 16x8/8x16 partitions: same auto rule as Encoder (IPPP, both
-        # entropy coders)
+        # 16x8/8x16 + P_8x8 partitions: same auto rule as Encoder
+        # (IPPP and B-GOP anchors, both entropy coders)
         self.partitions = (cfg.inter_partitions
                            if cfg.inter_partitions is not None
-                           else self.gop_mode == "ippp")
-        forced_off = self.partitions and self.gop_mode != "ippp"
-        self.partitions = self.partitions and self.gop_mode == "ippp"
+                           else self.gop_mode in ("ippp", "bgop"))
+        forced_off = (self.partitions
+                      and self.gop_mode not in ("ippp", "bgop"))
+        self.partitions = (self.partitions
+                           and self.gop_mode in ("ippp", "bgop"))
         if forced_off and cfg.inter_partitions:
             import warnings
             warnings.warn(
                 "inter_partitions requested but only supported for "
-                "IPPP GOPs; encoding without partitions", stacklevel=2)
+                "IPPP / B GOPs; encoding without partitions",
+                stacklevel=2)
         # High-profile 8x8 transform: same auto rule as Encoder
         self.t8_mode = (cfg.transform_8x8
                         if cfg.transform_8x8 is not None
@@ -123,11 +127,14 @@ class TiledEncoder:
         if self.t8_mode:
             self.sps, self.pps, self.cabac = build_params(
                 cfg, self.gop_mode, t8=True)
+        # P_8x8 sub-MB tree: same rule as Encoder
+        self.p8x8 = self.partitions
         self._enc_p = make_inter_encoder(band_sched,
                                          search_range=cfg.search_range,
                                          ref_prepadded=True,
                                          partitions=self.partitions,
-                                         t8=self.t8_mode)
+                                         t8=self.t8_mode,
+                                         p8x8=self.p8x8)
         self._enc_b = None
         # B 16x8/8x16 partitions: same auto rule as Encoder (non-ref Bs)
         self.b_partitions = (self.gop_mode == "bgop"
@@ -259,6 +266,18 @@ class TiledEncoder:
                                      jnp.where(pt4 == 2, csel, False))
                     up = lambda a: jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
                     mv_grid = jnp.where(use2[..., None], up(m2), up(m0))
+                    if "mvq" in mbd:
+                        # P_8x8: quadrant per 4x4 cell
+                        mq = jnp.where(is_inter[:, None, None],
+                                       mbd["mvq"].astype(jnp.int32), 0)\
+                            .reshape(bh, wm, 4, 2)
+                        qsel = (rsel.astype(jnp.int32) * 2
+                                + csel.astype(jnp.int32))
+                        mq4 = up(mq)
+                        mvq_grid = jnp.take_along_axis(
+                            mq4, qsel[..., None, None], axis=2)[..., 0, :]
+                        mv_grid = jnp.where((pt4 == 3)[..., None],
+                                            mvq_grid, mv_grid)
                     ref_grid = jnp.where(
                         up(is_inter.reshape(bh, wm)), 0, mvpred.INTRA)
                 else:
@@ -354,10 +373,10 @@ class TiledEncoder:
             mbd = reorder_wave_outputs_j(band_sched, ys)
             payload = payload_of(mbd, "i", qp)
             ry, ru, rv = band_recon(dev_out, mbd, qp, "i")
-            colzero = jnp.zeros(band_n, dtype=bool)
+            colstate = jnp.zeros(band_n, dtype=jnp.int32)
             sad = jnp.abs(y.astype(jnp.int32) - ry.astype(jnp.int32)).sum()
             return (ry[None, None], ru[None, None], rv[None, None],
-                    payload, colzero[None, None], sad[None, None])
+                    payload, colstate[None, None], sad[None, None])
 
         def step_p(y, u, v, ry, ru, rv, qp):
             y, u, v = y[0, 0], u[0, 0], v[0, 0]
@@ -367,30 +386,38 @@ class TiledEncoder:
             mbd = reorder_wave_outputs_j(band_sched, ys)
             payload = payload_of(mbd, "p", qp)
             ry2, ru2, rv2 = band_recon(dev_out, mbd, qp, "p")
-            colzero = (mbd["is_inter"].astype(bool)
-                       & (jnp.abs(mbd["mv"]) <= 1).all(axis=1))
+            # packed colocated state: bit0 = colZeroFlag (all cells),
+            # bit1 = cells disagree (partitioned anchor)
+            cz, czm = colstate_of(mbd)
+            colstate = cz.astype(jnp.int32) | (czm.astype(jnp.int32) << 1)
             sad = jnp.abs(y.astype(jnp.int32) - ry2.astype(jnp.int32)).sum()
             return (ry2[None, None], ru2[None, None], rv2[None, None],
-                    payload, colzero[None, None], sad[None, None])
+                    payload, colstate[None, None], sad[None, None])
 
-        def step_b(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colzero_in, qp,
-                   allow_parts):
+        def step_b(y, u, v, r0y, r0u, r0v, r1y, r1u, r1v, colstate_in,
+                   qp, allow_parts):
             y, u, v = y[0, 0], u[0, 0], v[0, 0]
             qp = qp[0]
             p0 = ref_halos(r0y[0, 0], r0u[0, 0], r0v[0, 0])
             p1 = ref_halos(r1y[0, 0], r1u[0, 0], r1v[0, 0])
+            cs = colstate_in[0, 0]
             dev_out, ys = self._enc_b(y, u, v, *p0, *p1,
-                                      colzero_in[0, 0], qp, allow_parts)
+                                      (cs & 1).astype(bool),
+                                      ((cs >> 1) & 1).astype(bool),
+                                      qp, allow_parts)
             mbd = reorder_wave_outputs_j(band_sched, ys)
             payload = payload_of(mbd, "b", qp)
             ry2, ru2, rv2 = band_recon(dev_out, mbd, qp, "b")
             use0 = mbd["use0"].astype(bool)
             use1 = mbd["use1"].astype(bool)
             mvu = jnp.where(use0[:, None], mbd["mv0"], mbd["mv1"])
-            colzero = (use0 | use1) & (jnp.abs(mvu) <= 1).all(axis=1)
+            # reference Bs stay 16x16 (allow_parts off) -> never mixed
+            colstate = ((use0 | use1)
+                        & (jnp.abs(mvu) <= 1).all(axis=1))\
+                .astype(jnp.int32)
             sad = jnp.abs(y.astype(jnp.int32) - ry2.astype(jnp.int32)).sum()
             return (ry2[None, None], ru2[None, None], rv2[None, None],
-                    payload, colzero[None, None], sad[None, None])
+                    payload, colstate[None, None], sad[None, None])
 
         gspec = P(gop_axis, tile_axis, None, None)
         pt = P(gop_axis, tile_axis)
@@ -458,13 +485,15 @@ class TiledEncoder:
                                 pad_band(r0[2], _PAD // 2), qpg)
         else:
             r0, r1 = fb["r0"], fb["r1"]
-            cz = np.asarray(fb["cz"])[g, t]
+            cs = np.asarray(fb["cz"])[g, t].astype(np.int32)
             _, ys = self._enc_b(y, u, v, pad_band(r0[0], _PAD),
                                 pad_band(r0[1], _PAD // 2),
                                 pad_band(r0[2], _PAD // 2),
                                 pad_band(r1[0], _PAD),
                                 pad_band(r1[1], _PAD // 2),
-                                pad_band(r1[2], _PAD // 2), cz, qpg,
+                                pad_band(r1[2], _PAD // 2),
+                                (cs & 1).astype(bool),
+                                ((cs >> 1) & 1).astype(bool), qpg,
                                 fb.get("ap", np.True_))
         mbd = reorder_wave_outputs_j(self.band_sched, ys)
         mb = {k2: np.asarray(v2) for k2, v2 in mbd.items()}
