@@ -157,3 +157,44 @@ def test_syntax_trace_mode():
     assert sum(ln.startswith("SLICE") for ln in lines) == 3
     assert sum(ln.startswith("MB ") for ln in lines) == 3 * n_mbs
     assert any("l0=(" in ln for ln in lines)      # inter MBs traced
+
+
+def test_sei_parse_and_emission():
+    """SEI (Annex D / SURVEY #20): parse x264's user_data_unregistered
+    message from an external stream, and round-trip our own encoder
+    tag + recovery_point (SEIMessages=1) through the decoder while the
+    stream stays externally decodable."""
+    import numpy as np
+    from lavc_util import lavc_decode
+    from x264_util import x264_encode
+    from tpu264.bits import sei
+    from tpu264.config import EncoderConfig
+    from tpu264.coding.encoder import Encoder
+    from tpu264.decode.decoder import Decoder
+    from tpu264.media.synth import synth_frame
+
+    frames = [synth_frame(176, 96, t) for t in range(3)]
+    fr = [(np.asarray(a), np.asarray(b), np.asarray(c))
+          for a, b, c in frames]
+    s = x264_encode(fr, qp=30, preset="medium", params="cabac=0:bframes=0")
+    d = Decoder()
+    d.decode(s)
+    ud = [m for m in d.sei if m.payload_type == sei.USER_DATA_UNREGISTERED]
+    assert ud and "x264" in ud[0].text
+
+    cfg = EncoderConfig(width=176, height=96, qp=30, intra_period=0,
+                        sei_messages=True)
+    enc = Encoder(cfg, gop_mode="ippp")
+    stream = enc.encode_sequence(frames)
+    d2 = Decoder()
+    recs = d2.decode(stream)
+    types = [m.payload_type for m in d2.sei]
+    assert sei.USER_DATA_UNREGISTERED in types
+    assert sei.RECOVERY_POINT in types
+    for i in range(3):
+        assert np.array_equal(recs[i][0], np.asarray(enc.recons[i][0])), i
+    dlav, errs = lavc_decode(stream, 176, 96)
+    assert not errs, errs[:2]
+    for i in range(3):
+        assert np.array_equal(dlav[i][0],
+                              np.asarray(enc.recons[i][0])), i

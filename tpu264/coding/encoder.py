@@ -595,8 +595,7 @@ class Encoder:
         Produces the identical bitstream to the per-frame path."""
         cfg = self.cfg
         qp = cfg.qp
-        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
-               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        out = self._header_nalus()
         self.recons = []
         fn = self._get_intra_batch_fn(batch, qp)
         rows_per_slice = cfg.height_mbs // cfg.slices_per_frame
@@ -673,8 +672,7 @@ class Encoder:
             frames = head
         if self.gop_mode == "bgop":
             return self._encode_sequence_bgop(frames)
-        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
-               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        out = self._header_nalus()
         self.recons = []
         frame_num = 0
         idr_count = 0
@@ -767,8 +765,7 @@ class Encoder:
         plan = build_bgop_plan(nfr, cfg.num_b_frames, cfg.intra_period)
         hier = cfg.num_b_frames >= 2
 
-        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
-               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        out = self._header_nalus()
         self.recons = [None] * nfr
         stats = [None] * nfr
         fn = 0
@@ -850,6 +847,22 @@ class Encoder:
                 ps[0], ps[1], ps[2], time.monotonic() - t0)
         self.stats.extend(s for s in stats if s is not None)
         return b"".join(out)
+
+
+    def _header_nalus(self) -> list:
+        """SPS + PPS (+ optional SEI: encoder tag and recovery point,
+        Annex D / JM `sei.c`) that open every stream."""
+        out = [nal.make_nalu(3, nal.NAL_SPS, self.sps.write_rbsp()),
+               nal.make_nalu(3, nal.NAL_PPS, self.pps.write_rbsp())]
+        if self.cfg.sei_messages:
+            from tpu264.bits import sei
+            rbsp = sei.make_sei_rbsp(
+                sei.write_user_data(
+                    f"tpu264 - {self.gop_mode} "
+                    f"{self.cfg.symbol_mode.upper()}"),
+                sei.write_recovery_point(0))
+            out.append(nal.make_nalu(0, nal.NAL_SEI, rbsp))
+        return out
 
     def encode_b_frame(self, y, u, v, ref0, ref1, frame_num: int,
                        poc_lsb: int, qp: int | None = None,

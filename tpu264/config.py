@@ -38,13 +38,15 @@ class EncoderConfig:
     num_ref_frames: int = 1
     search_range: int = 16               # JM SearchRange (full-pel)
     me_subpel: bool = True               # half+quarter pel refinement
-    # 16x8/8x16 inter partitions (JM InterSearch16x8/8x16); None = auto
-    # (on for CAVLC IPPP — partition syntax is not wired into the CABAC
-    # binarizer or the B engines yet)
+    # 16x8/8x16 + P_8x8 inter partitions (JM InterSearch16x8/8x16/8x8);
+    # None = auto (on for IPPP and B-GOP anchors, both entropy coders)
     inter_partitions: "Optional[bool]" = None
     # High-profile 8x8 transform (JM Transform8x8Mode); None = auto
-    # (on for CAVLC IPPP — the CABAC binarizer has no cat-5 path yet)
+    # (on for IPPP and B GOPs, both entropy coders)
     transform_8x8: "Optional[bool]" = None
+    # SEI emission (JM SEIMessages): user_data_unregistered encoder tag
+    # + recovery_point after the parameter sets
+    sei_messages: bool = False
     # explicit P weighted prediction (JM WeightedPrediction); opt-in:
     # per-frame luma gain/offset estimation for fades (single-device
     # IPPP encoder; the tiled path does not emit WP)
@@ -104,6 +106,7 @@ _JM_KEYS = {
     "NumberReferenceFrames": ("num_ref_frames", int),
     "SearchRange": ("search_range", int),
     "InterPartitions": ("inter_partitions", lambda s: bool(int(s))),
+    "SEIMessages": ("sei_messages", lambda s: bool(int(s))),
     "Transform8x8Mode": ("transform_8x8", lambda s: bool(int(s))),
     "WeightedPrediction": ("weighted_pred", lambda s: bool(int(s))),
     "RateControlEnable": ("rate_control", lambda s: bool(int(s))),

@@ -139,6 +139,8 @@ class Decoder:
         self.trace = trace
         self.sps: SPS | None = None
         self.pps: PPS | None = None
+        # parsed SEI messages (Annex D) in stream order
+        self.sei: list = []
         self.frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self._out: list[tuple[int, int, int, tuple]] = []  # epoch, poc, seq
         self._pic: PictureState | None = None
@@ -177,7 +179,10 @@ class Decoder:
                                            f" {e}")
                 else:
                     self._decode_slice(rbsp, ntype, ref_idc)
-            elif ntype in (nal.NAL_SEI, nal.NAL_AUD, nal.NAL_FILLER):
+            elif ntype == nal.NAL_SEI:
+                from tpu264.bits import sei as _sei
+                self.sei.extend(_sei.parse_sei_rbsp(rbsp))
+            elif ntype in (nal.NAL_AUD, nal.NAL_FILLER):
                 continue
             else:
                 raise NotImplementedError(f"nal_unit_type {ntype}")
